@@ -1,0 +1,148 @@
+"""Typed configuration for the PointDreamer-TPU pipeline.
+
+Mirrors the flat YAML key set of the reference configs
+(/root/reference/configs/default.yaml and demo.py:315-316, which parse YAML
+into an untyped Munch).  Here the config is a typed dataclass: unknown keys
+are reported instead of silently ignored, and every stage function receives
+the one `PipelineConfig` object rather than **cfg splats.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import yaml
+
+
+@dataclass
+class PipelineConfig:
+    # ---- experiment / IO ------------------------------------------------
+    exp_name: str = "default"
+    output_path: str = "output"
+    save_dir: str = "out_inference"
+    save_input_pc: bool = True
+    render_after_inference: bool = False
+
+    # ---- input ----------------------------------------------------------
+    dataset_name: str = "demo"
+    input_already_noisy: bool = False
+    noise_stddev: Optional[float] = None
+    coords_scale: float = 1.0
+    max_points: int = 30000  # reference demo.py:372-374 input budget
+
+    # ---- geometry -------------------------------------------------------
+    # 'POCO'   : implicit occupancy network (needs checkpoint)
+    # 'SPR'    : screened-Poisson equivalent -> FFT Poisson reconstruction
+    # 'hoppe'  : signed distance to tangent planes (non-learned, default
+    #            when no POCO checkpoint is available)
+    geo_from: str = "POCO"
+    poco_checkpoint: Optional[str] = None
+    grid_res: int = 128           # reference models/POCO/generate_1.py:48
+    target_face_num: int = 10000  # reference models/POCO/generate_1.py:49
+    smooth_mesh: bool = False
+
+    # ---- texture generation ---------------------------------------------
+    # 'DDNM_inpaint' | 'linear' | 'nearest'
+    texture_gen_method: str = "DDNM_inpaint"
+    diffusion_checkpoint: Optional[str] = None
+
+    # ---- cameras (reference configs/default.yaml:33-37) ------------------
+    camera_distribution: str = "fibonacci_sphere"
+    cam_res: int = 512
+    view_num: int = 8
+    cam_distance: float = 1.6
+    cam_fov_deg: float = 45.0
+
+    # ---- inpainting images (reference configs/default.yaml:39-42) --------
+    res: int = 256
+    point_size: int = 1
+    edge_point_size: int = 1
+
+    # ---- visibility ------------------------------------------------------
+    point_validation_by_o3d: bool = True   # spherical-flip hidden point removal
+    hidden_point_removal_radius: float = 100.0
+    refine_point_validation_by_remove_abnormal_depth: bool = False
+    refine_res: int = 512
+    depth_offset: float = 1e-2  # z-test tolerance in linear view depth
+                                # (reference uses 1e-4 in NDC z; demo.py:107)
+
+    # ---- crop / rescale (reference configs/default.yaml:49-52) -----------
+    crop_img: bool = True
+    crop_padding: float = 0.05
+    mask_ratio_thresh: float = 0.82
+
+    # ---- unproject / NBF (reference configs/default.yaml:54-58) ----------
+    edge_dilate_kernels: List[int] = field(default_factory=lambda: [21])
+    optimize_from: Optional[str] = "ours"   # None|'scratch'|'naive'|'ours'
+    xatlas_texture_res: int = 1024
+    complete_unseen_by: str = "neighbor"    # 'unproject'|'optimize'|'neighbor'
+
+    # ---- atlas optimization (reference ours_utils.py:1583-1785) ----------
+    optimize_iters: int = 100
+    optimize_lr: float = 5e-2
+
+    # ---- misc ------------------------------------------------------------
+    seed: int = 42  # reference demo.py:34 kiui.seed_everything(42)
+    sample_num: int = 100000
+
+    # keys from the reference configs that exist for parity but are unused
+    # in the demo path; kept so reference YAMLs load cleanly.
+    exist_root_path: Optional[str] = None
+    cls_id: Optional[str] = None
+    input_pc_generate_method: Optional[str] = None
+    demo: bool = False
+    geo_root: Optional[str] = None
+    load_exist_dense_img_path: Optional[str] = None
+    use_GT_geo_watertight: bool = False
+    use_GT_multi_view_img: bool = False
+    input_type: str = "object"
+    project2mesh: bool = False
+
+
+_FIELDS = {f.name: f for f in dataclasses.fields(PipelineConfig)}
+
+
+def _coerce(name: str, value):
+    """YAML 'None' strings -> None; ints for int fields; lists kept."""
+    if isinstance(value, str) and value == "None":
+        return None
+    f = _FIELDS[name]
+    if f.type in ("int", int) and isinstance(value, float):
+        return int(value)
+    return value
+
+
+def load_config(path_or_dict, strict: bool = False) -> PipelineConfig:
+    """Load a PipelineConfig from a YAML file path or a dict.
+
+    Reference-compatible: all keys of /root/reference/configs/*.yaml are
+    accepted.  Unknown keys raise in strict mode, else are collected in
+    the returned config's `extra` attribute and warned about.
+    """
+    if isinstance(path_or_dict, dict):
+        raw = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f.read()) or {}
+
+    known, unknown = {}, {}
+    for k, v in raw.items():
+        if k in _FIELDS:
+            known[k] = _coerce(k, v)
+        else:
+            unknown[k] = v
+    if unknown:
+        if strict:
+            raise KeyError(f"unknown config keys: {sorted(unknown)}")
+        import warnings
+
+        warnings.warn(f"ignoring unknown config keys: {sorted(unknown)}")
+    cfg = PipelineConfig(**known)
+    object.__setattr__(cfg, "extra", unknown)
+    return cfg
+
+
+def save_config(cfg: PipelineConfig, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

@@ -1,0 +1,243 @@
+"""Host-side IO: PLY point clouds, OBJ/MTL meshes, PNG images.
+
+Self-contained replacements for the reference's plyfile/kaolin/PIL-based IO
+(reference utils/other_utils.py:122-163 read/save PLY,
+models/get3d/get3d_utils/utils_3d.py:27-64 savemeshtes2 OBJ writer,
+utils/utils_2d.py:351-440 PNG helpers).  Pure numpy + PIL; no torch.
+"""
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+# --------------------------------------------------------------------------
+# PLY
+# --------------------------------------------------------------------------
+
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+
+
+def read_ply_xyzrgb(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a PLY with x,y,z (+ red,green,blue) vertex properties.
+
+    Supports ascii and binary_little_endian formats (the demo clouds are
+    binary_little_endian; reference utils/other_utils.py:155 uses plyfile).
+    Returns (xyz float32 [N,3], rgb uint8 [N,3]); rgb is zeros if absent.
+    """
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        n_vertex = 0
+        props = []  # (name, numpy dtype str) for the vertex element
+        cur_element = None
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unexpected EOF in header")
+            tok = line.decode("ascii", "replace").strip().split()
+            if not tok:
+                continue
+            if tok[0] == "format":
+                fmt = tok[1]
+            elif tok[0] == "element":
+                cur_element = tok[1]
+                if cur_element == "vertex":
+                    n_vertex = int(tok[2])
+            elif tok[0] == "property" and cur_element == "vertex":
+                if tok[1] == "list":
+                    raise ValueError("list property in vertex element")
+                props.append((tok[-1], _PLY_TYPES[tok[1]]))
+            elif tok[0] == "end_header":
+                break
+
+        if fmt == "ascii":
+            rows = []
+            for _ in range(n_vertex):
+                rows.append(f.readline().split()[: len(props)])
+            arr = np.array(rows, dtype=np.float64)
+            data = {name: arr[:, i] for i, (name, _) in enumerate(props)}
+        elif fmt == "binary_little_endian":
+            dtype = np.dtype([(name, "<" + t) for name, t in props])
+            buf = f.read(dtype.itemsize * n_vertex)
+            rec = np.frombuffer(buf, dtype=dtype, count=n_vertex)
+            data = {name: rec[name] for name, _ in props}
+        else:
+            raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+    xyz = np.stack(
+        [data["x"], data["y"], data["z"]], axis=1
+    ).astype(np.float32)
+    if "red" in data:
+        rgb = np.stack(
+            [data["red"], data["green"], data["blue"]], axis=1
+        )
+        if rgb.dtype != np.uint8:
+            rgb = np.clip(rgb, 0, 255)
+        rgb = rgb.astype(np.uint8)
+    else:
+        rgb = np.zeros((n_vertex, 3), dtype=np.uint8)
+    return xyz, rgb
+
+
+def save_colored_pc_ply(xyz: np.ndarray, rgb01: np.ndarray, path: str) -> None:
+    """Write xyz float + rgb (float in [0,1] or uint8) as binary PLY
+    (reference utils/other_utils.py:122)."""
+    xyz = np.asarray(xyz, dtype=np.float32)
+    rgb = np.asarray(rgb01)
+    if rgb.dtype != np.uint8:
+        rgb = (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    n = len(xyz)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+    rec = np.empty(
+        n,
+        dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+               ("red", "u1"), ("green", "u1"), ("blue", "u1")],
+    )
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+
+
+# --------------------------------------------------------------------------
+# OBJ / MTL
+# --------------------------------------------------------------------------
+
+def save_textured_obj(
+    vertices: np.ndarray,
+    uvs: np.ndarray,
+    faces: np.ndarray,
+    face_uv_idx: np.ndarray,
+    obj_path: str,
+    texture_name: Optional[str] = None,
+) -> None:
+    """Write v/vt/f OBJ + companion MTL referencing a PNG texture.
+
+    Output format matches the reference's savemeshtes2
+    (models/get3d/get3d_utils/utils_3d.py:27-64): 1-based indices,
+    `f v/vt` triplets, single material_0, map_Kd <name>.png.
+    """
+    fol = os.path.dirname(obj_path)
+    os.makedirs(fol or ".", exist_ok=True)
+    na = os.path.splitext(os.path.basename(obj_path))[0]
+    if texture_name is None:
+        texture_name = na + ".png"
+    mtl_path = os.path.join(fol, na + ".mtl")
+    with open(mtl_path, "w") as fid:
+        fid.write(
+            "newmtl material_0\nKd 1 1 1\nKa 0 0 0\nKs 0.4 0.4 0.4\n"
+            f"Ns 10\nillum 2\nmap_Kd {texture_name}\n"
+        )
+    v = np.asarray(vertices, dtype=np.float64)
+    vt = np.asarray(uvs, dtype=np.float64)
+    fv = np.asarray(faces, dtype=np.int64) + 1
+    ft = np.asarray(face_uv_idx, dtype=np.int64) + 1
+    parts = [f"mtllib {na}.mtl\n"]
+    parts.extend(f"v {p[0]:f} {p[1]:f} {p[2]:f}\n" for p in v)
+    parts.extend(f"vt {p[0]:f} {p[1]:f}\n" for p in vt)
+    parts.append("usemtl material_0\n")
+    parts.extend(
+        f"f {a[0]}/{b[0]} {a[1]}/{b[1]} {a[2]}/{b[2]}\n"
+        for a, b in zip(fv, ft)
+    )
+    with open(obj_path, "w") as fid:
+        fid.write("".join(parts))
+
+
+def save_obj(vertices: np.ndarray, faces: np.ndarray, path: str) -> None:
+    """Plain v/f OBJ (reference utils_3d.py:12-24)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    v = np.asarray(vertices, dtype=np.float64)
+    fv = np.asarray(faces, dtype=np.int64) + 1
+    parts = [f"v {p[0]:f} {p[1]:f} {p[2]:f}\n" for p in v]
+    parts += [f"f {a[0]} {a[1]} {a[2]}\n" for a in fv]
+    with open(path, "w") as fid:
+        fid.write("".join(parts))
+
+
+def load_obj(path: str) -> Dict[str, np.ndarray]:
+    """Minimal OBJ loader: v, vt, f (v or v/vt or v/vt/vn); triangulates fans.
+
+    Replacement for kaolin.io.obj.import_mesh (reference demo.py:395).
+    """
+    verts, uvs, faces, face_uv = [], [], [], []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                verts.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "vt":
+                uvs.append([float(x) for x in tok[1:3]])
+            elif tok[0] == "f":
+                idx = []
+                for w in tok[1:]:
+                    parts = w.split("/")
+                    vi = int(parts[0])
+                    ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+                    idx.append((vi, ti))
+                for i in range(1, len(idx) - 1):  # fan triangulation
+                    tri = [idx[0], idx[i], idx[i + 1]]
+                    faces.append([t[0] - 1 if t[0] > 0 else len(verts) + t[0]
+                                  for t in tri])
+                    face_uv.append([t[1] - 1 for t in tri])
+    out = {
+        "vertices": np.asarray(verts, dtype=np.float32),
+        "faces": np.asarray(faces, dtype=np.int64),
+    }
+    if uvs:
+        out["uvs"] = np.asarray(uvs, dtype=np.float32)
+        out["face_uv_idx"] = np.asarray(face_uv, dtype=np.int64)
+    return out
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+def save_rgb(img01: np.ndarray, path: str, flip_vertical: bool = False) -> None:
+    """Save an HWC (or CHW) float [0,1] image as RGB PNG
+    (reference utils/utils_2d.py:351 save_CHW_RGB_img, stored row 0 = top)."""
+    img = np.asarray(img01)
+    if img.ndim == 3 and img.shape[0] in (3, 4) and img.shape[-1] not in (3, 4):
+        img = np.transpose(img, (1, 2, 0))
+    if flip_vertical:
+        img = img[::-1]
+    arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    mode = "RGBA" if arr.shape[-1] == 4 else "RGB"
+    Image.fromarray(np.ascontiguousarray(arr), mode).save(path)
+
+
+def load_rgb(path: str) -> np.ndarray:
+    """Load PNG -> HWC float32 in [0,1] (RGB; alpha dropped)."""
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    return img / 255.0
+
+
+def load_rgba(path: str) -> np.ndarray:
+    img = np.asarray(Image.open(path).convert("RGBA"), dtype=np.float32)
+    return img / 255.0
