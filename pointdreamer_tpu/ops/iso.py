@@ -1,0 +1,195 @@
+"""Iso-surface extraction: marching tetrahedra in JAX + host welding.
+
+Replaces skimage.measure.marching_cubes and the vendored libmcubes
+(reference models/POCO/generate.py:162, models/POCO/eval/src/utils/libmcubes)
+with a TPU-friendly design:
+
+  1. device: per-cube activity mask over the dense grid (sign change),
+  2. host:   nonzero -> active cell list, padded to a bucket size,
+  3. device: fixed-shape kernel emits up to 6 tets x 2 triangles per active
+     cube with globally-keyed edge vertices (marching tetrahedra — chosen
+     over classic marching cubes because its 16-entry case table is derived
+     programmatically below instead of a 256x16 lookup, and every case is
+     branch-free),
+  4. host:   weld vertices by edge key (np.unique) -> (V, F) arrays.
+
+Winding is fixed on device so triangle normals point from inside
+(field < 0) to outside, which the NBF unprojection relies on for its
+normal/view-direction priority (reference unproject.py:305).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# cube corner id c = x + 2y + 4z
+CUBE_OFFSETS = np.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+     [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], dtype=np.int32)
+
+# six tetrahedra around the 0-7 diagonal (consistent face diagonals
+# between neighboring cubes; see derivation in repo docs)
+TETS = np.array(
+    [[0, 1, 3, 7], [0, 2, 3, 7], [0, 2, 6, 7],
+     [0, 4, 6, 7], [0, 4, 5, 7], [0, 1, 5, 7]], dtype=np.int32)
+
+
+def _build_tet_table() -> np.ndarray:
+    """[16 cases, 2 tris, 3 verts, 2 corner-ids]; -1 = unused.
+
+    Case bit c set <=> tet corner c is inside (field < 0).  Each emitted
+    vertex lies on a tet edge (a, b) with sign(a) != sign(b).
+    """
+    table = -np.ones((16, 2, 3, 2), dtype=np.int32)
+    for case in range(16):
+        inside = [c for c in range(4) if case & (1 << c)]
+        outside = [c for c in range(4) if c not in inside]
+        if len(inside) in (0, 4):
+            continue
+        if len(inside) == 1 or len(inside) == 3:
+            apex = inside[0] if len(inside) == 1 else outside[0]
+            others = [c for c in range(4) if c != apex]
+            table[case, 0] = [[apex, others[0]], [apex, others[1]],
+                              [apex, others[2]]]
+        else:  # 2 inside, 2 outside -> quad -> 2 triangles
+            i, j = inside
+            k, l = outside
+            quad = [[i, k], [i, l], [j, l], [j, k]]
+            table[case, 0] = [quad[0], quad[1], quad[2]]
+            table[case, 1] = [quad[0], quad[2], quad[3]]
+    return table
+
+
+TET_TABLE = _build_tet_table()
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def active_cell_mask(values: jnp.ndarray, res: int) -> jnp.ndarray:
+    """[R-1]^3 bool: cube has both signs among its 8 corners."""
+    v = values
+    c = v[:-1, :-1, :-1]
+    vmin = c
+    vmax = c
+    for o in CUBE_OFFSETS[1:]:
+        s = v[o[0]:res - 1 + o[0], o[1]:res - 1 + o[1], o[2]:res - 1 + o[2]]
+        vmin = jnp.minimum(vmin, s)
+        vmax = jnp.maximum(vmax, s)
+    return (vmin < 0.0) & (vmax >= 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def _emit_triangles(values, axis_coords, cells, res):
+    """cells: [A] flat cube index over the (R-1)^3 cube grid (padded entries
+    = -1).  Returns per-tri vertex positions [A,6,2,3,3], edge keys
+    [A,6,2,3] int64 (sorted global corner-pair), and validity [A,6,2]."""
+    rm1 = res - 1
+    ok = cells >= 0
+    c = jnp.maximum(cells, 0)
+    cz = c % rm1
+    cy = (c // rm1) % rm1
+    cx = c // (rm1 * rm1)
+    base = jnp.stack([cx, cy, cz], axis=-1)                      # [A,3]
+
+    offs = jnp.asarray(CUBE_OFFSETS)                              # [8,3]
+    corner_ijk = base[:, None, :] + offs[None, :, :]              # [A,8,3]
+    gid = ((corner_ijk[..., 0] * res + corner_ijk[..., 1]) * res
+           + corner_ijk[..., 2]).astype(jnp.int64)                # [A,8]
+    val = values[corner_ijk[..., 0], corner_ijk[..., 1], corner_ijk[..., 2]]
+    pos = axis_coords[corner_ijk]                                 # [A,8,3]
+
+    tets = jnp.asarray(TETS)                                      # [6,4]
+    tval = val[:, tets]                                           # [A,6,4]
+    tpos = pos[:, tets]                                           # [A,6,4,3]
+    tgid = gid[:, tets]                                           # [A,6,4]
+
+    inside = tval < 0.0                                           # [A,6,4]
+    case = (inside[..., 0] * 1 + inside[..., 1] * 2
+            + inside[..., 2] * 4 + inside[..., 3] * 8).astype(jnp.int32)
+
+    tbl = jnp.asarray(TET_TABLE)                                  # [16,2,3,2]
+    tri_corners = tbl[case]                                       # [A,6,2,3,2]
+    tri_valid = (tri_corners[..., 0, 0] >= 0) & ok[:, None, None]  # [A,6,2]
+
+    ca = jnp.maximum(tri_corners[..., 0], 0)                      # [A,6,2,3]
+    cb = jnp.maximum(tri_corners[..., 1], 0)
+
+    a_val = jnp.take_along_axis(tval[:, :, None, :], ca, axis=-1)
+    b_val = jnp.take_along_axis(tval[:, :, None, :], cb, axis=-1)
+    a_gid = jnp.take_along_axis(tgid[:, :, None, :], ca, axis=-1)
+    b_gid = jnp.take_along_axis(tgid[:, :, None, :], cb, axis=-1)
+    a_pos = jnp.take_along_axis(
+        tpos[:, :, None, :, :], ca[..., None], axis=3)            # [A,6,2,3,3]
+    b_pos = jnp.take_along_axis(
+        tpos[:, :, None, :, :], cb[..., None], axis=3)
+
+    t = a_val / jnp.where(jnp.abs(a_val - b_val) > 1e-12,
+                          a_val - b_val, 1.0)
+    t = jnp.clip(t, 0.0, 1.0)[..., None]
+    vpos = a_pos + t * (b_pos - a_pos)                            # [A,6,2,3,3]
+
+    lo = jnp.minimum(a_gid, b_gid)
+    hi = jnp.maximum(a_gid, b_gid)
+    ekey = lo * (res * res * res) + hi                            # [A,6,2,3]
+
+    # orient: normal should point inside -> outside
+    e1 = vpos[..., 1, :] - vpos[..., 0, :]
+    e2 = vpos[..., 2, :] - vpos[..., 0, :]
+    nrm = jnp.cross(e1, e2)                                       # [A,6,2,3]
+    w_in = jnp.where(inside, 1.0, 0.0)
+    w_out = 1.0 - w_in
+    c_in = (tpos * w_in[..., None]).sum(-2) / jnp.maximum(
+        w_in.sum(-1, keepdims=True), 1.0)                         # [A,6,3]
+    c_out = (tpos * w_out[..., None]).sum(-2) / jnp.maximum(
+        w_out.sum(-1, keepdims=True), 1.0)
+    outward = c_out - c_in                                        # [A,6,3]
+    flip = (nrm * outward[:, :, None, :]).sum(-1) < 0.0           # [A,6,2]
+
+    v1 = jnp.where(flip[..., None], vpos[..., 2, :], vpos[..., 1, :])
+    v2 = jnp.where(flip[..., None], vpos[..., 1, :], vpos[..., 2, :])
+    vpos = jnp.stack([vpos[..., 0, :], v1, v2], axis=-2)
+    k1 = jnp.where(flip, ekey[..., 2], ekey[..., 1])
+    k2 = jnp.where(flip, ekey[..., 1], ekey[..., 2])
+    ekey = jnp.stack([ekey[..., 0], k1, k2], axis=-1)
+
+    return vpos, ekey, tri_valid
+
+
+def marching_tets(values: np.ndarray, axis: np.ndarray,
+                  bucket: int = 8192) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the zero level set of values [R,R,R] sampled at axis coords
+    (axis [R] per dimension, uniform cube grid).
+
+    Returns (vertices [V,3] float32, faces [F,3] int64) with welded,
+    deduplicated vertices and inside->outside winding.
+    """
+    res = values.shape[0]
+    vals_j = jnp.asarray(values, jnp.float32)
+    mask = np.asarray(active_cell_mask(vals_j, res))
+    cells = np.nonzero(mask.reshape(-1))[0].astype(np.int32)
+    if len(cells) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    pad = (-len(cells)) % bucket
+    cells_p = np.concatenate([cells, -np.ones(pad, np.int32)])
+
+    vpos, ekey, valid = _emit_triangles(
+        vals_j, jnp.asarray(axis, jnp.float32), jnp.asarray(cells_p), res)
+    vpos = np.asarray(vpos).reshape(-1, 3, 3)
+    ekey = np.asarray(ekey).reshape(-1, 3)
+    valid = np.asarray(valid).reshape(-1)
+
+    tri_pos = vpos[valid]          # [T,3,3]
+    tri_key = ekey[valid]          # [T,3]
+
+    flat_keys = tri_key.reshape(-1)
+    uniq, inv = np.unique(flat_keys, return_inverse=True)
+    verts = np.zeros((len(uniq), 3), np.float32)
+    verts[inv] = tri_pos.reshape(-1, 3)   # same key -> identical position
+    faces = inv.reshape(-1, 3).astype(np.int64)
+    # drop degenerate faces (repeated vertex ids)
+    good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+            & (faces[:, 0] != faces[:, 2]))
+    return verts, faces[good]

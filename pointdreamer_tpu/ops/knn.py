@@ -1,0 +1,73 @@
+"""Brute-force chunked k-nearest-neighbor search as MXU matmuls.
+
+TPU-native replacement for the reference's three kNN paths:
+scipy cKDTree (models/POCO/lightconvpoint/spatial/neighborhood_search/knn.py:4-22),
+the vendored C++ nanoflann kernels (lightconvpoint/src/knn.cxx:20), and
+kaolin sided_distance (ours_utils.py:1013).
+
+With N <= 30k reference points the full distance tile fits comfortably in
+HBM chunks: ||q - r||^2 = |q|^2 + |r|^2 - 2 q.r, with the q.r term a
+[chunk, N] matmul that XLA tiles onto the MXU.  A KD-tree is the wrong
+structure on TPU: irregular traversal defeats the vector units, while the
+brute-force matmul runs at near-peak FLOPs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn(
+    query: jnp.ndarray,              # [M, D]
+    ref: jnp.ndarray,                # [N, D]
+    k: int,
+    ref_valid: Optional[jnp.ndarray] = None,  # [N] bool
+    chunk: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (sq_dists [M, k], indices [M, k]) of the k nearest refs."""
+    m, d = query.shape
+    n = ref.shape[0]
+    k = min(k, n)
+    pad = (-m) % chunk
+    q = jnp.concatenate([query, jnp.zeros((pad, d), query.dtype)]) if pad else query
+    q = q.reshape(-1, chunk, d)
+
+    r2 = (ref * ref).sum(-1)                                   # [N]
+    if ref_valid is not None:
+        r2 = jnp.where(ref_valid, r2, jnp.inf)
+
+    def body(_, qc):
+        # precision=highest: distance argmins are wrong in bf16 MXU mode
+        cross = jnp.dot(qc, ref.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = ((qc * qc).sum(-1, keepdims=True) - 2.0 * cross + r2[None, :])
+        neg, idx = jax.lax.top_k(-d2, k)
+        return None, (-neg, idx)
+
+    _, (dists, idx) = jax.lax.scan(body, None, q)
+    dists = dists.reshape(-1, k)[:m]
+    idx = idx.reshape(-1, k)[:m]
+    return jnp.maximum(dists, 0.0), idx
+
+
+def nearest(query, ref, ref_valid=None, chunk=2048):
+    """1-NN convenience (kaolin sided_distance equivalent)."""
+    d, i = knn(query, ref, 1, ref_valid, chunk)
+    return d[:, 0], i[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_2d_pixels(
+    query_pix: jnp.ndarray,  # [M, 2] float or int pixel coords
+    ref_pix: jnp.ndarray,    # [N, 2]
+    k: int,
+    ref_valid: Optional[jnp.ndarray] = None,
+    chunk: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN between 2D pixel sets (edge-pixel color lookup,
+    ours_utils.py:1008-1023 which uses kaolin sided_distance on pixels)."""
+    return knn(query_pix.astype(jnp.float32), ref_pix.astype(jnp.float32),
+               k, ref_valid, chunk)

@@ -1,0 +1,188 @@
+"""Point-cloud implicit surfaces: normal estimation + two non-learned
+signed fields (Hoppe tangent-plane SDF, FFT Poisson indicator), evaluated
+on dense grids for iso-surface extraction.
+
+These are the TPU-native geometry backends standing in for the reference's
+two options (models/POCO occupancy network, baselines/spr.py screened
+Poisson via pymeshlab):
+
+  - 'hoppe':  f(x) = weighted mean of n_i . (x - p_i) over kNN
+              (Hoppe et al. '92) — pure kNN + dot products, MXU-bound.
+  - 'poisson_fft': splat oriented normals into a grid, solve
+              div V = lap chi spectrally with jnp.fft (the unscreened
+              Poisson reconstruction; SPR's screening term dropped —
+              the FFT solve is exact, global, and ~ms on TPU for 128^3).
+
+Normal orientation: Riemannian-MST sign propagation on host (scipy),
+the same strategy pymeshlab/o3d use internally.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .knn import knn
+
+
+# --------------------------------------------------------------------------
+# Normal estimation (device) + orientation (host MST)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def estimate_normals_pca(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
+    """Unoriented normals = smallest eigenvector of the local covariance."""
+    _, idx = knn(points, points, k)
+    nbrs = points[idx]                                  # [N,k,3]
+    mean = nbrs.mean(axis=1, keepdims=True)
+    cent = nbrs - mean
+    cov = jnp.einsum("nki,nkj->nij", cent, cent) / k    # [N,3,3]
+    # eigh on [N,3,3]: batched, small — fine on device
+    w, v = jnp.linalg.eigh(cov)
+    return v[..., 0]                                    # smallest eigval
+
+
+def orient_normals_mst(points: np.ndarray, normals: np.ndarray,
+                       k: int = 12) -> np.ndarray:
+    """Flip normals to a globally consistent orientation by propagating
+    along a minimum spanning tree of the kNN graph weighted by
+    1 - |n_i . n_j| (Hoppe et al. '92), seeded so the topmost point faces
+    +y (outward for a closed shape).  Host-side: inherently sequential.
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import minimum_spanning_tree, breadth_first_order
+
+    pts = np.asarray(points, np.float64)
+    nrm = np.asarray(normals, np.float64).copy()
+    n = len(pts)
+    d2, idx = map(np.asarray, knn(jnp.asarray(pts, jnp.float32),
+                                  jnp.asarray(pts, jnp.float32), k + 1))
+    rows = np.repeat(np.arange(n), k)
+    cols = idx[:, 1:].reshape(-1)
+    w = 1.0 - np.abs((nrm[rows] * nrm[cols]).sum(-1))
+    g = coo_matrix((w + 1e-9, (rows, cols)), shape=(n, n))
+    mst = minimum_spanning_tree(g)
+    mst = mst + mst.T
+    seed = int(np.argmax(pts[:, 1]))
+    if nrm[seed, 1] < 0:
+        nrm[seed] = -nrm[seed]
+    order, preds = breadth_first_order(mst, seed, directed=False)
+    for node in order[1:]:
+        p = preds[node]
+        if p >= 0 and (nrm[node] * nrm[p]).sum() < 0:
+            nrm[node] = -nrm[node]
+    return nrm.astype(np.float32)
+
+
+def estimate_oriented_normals(points: np.ndarray, k_pca: int = 16,
+                              k_mst: int = 12) -> np.ndarray:
+    nrm = np.asarray(estimate_normals_pca(jnp.asarray(points), k_pca))
+    return orient_normals_mst(points, nrm, k_mst)
+
+
+# --------------------------------------------------------------------------
+# Hoppe signed distance
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def hoppe_sdf(
+    query: jnp.ndarray,    # [M, 3]
+    points: jnp.ndarray,   # [N, 3]
+    normals: jnp.ndarray,  # [N, 3] oriented outward
+    k: int = 8,
+) -> jnp.ndarray:
+    """Signed distance: inverse-distance-weighted mean of tangent-plane
+    distances over the k nearest points. Negative = inside."""
+    d2, idx = knn(query, points, k)
+    p = points[idx]                       # [M,k,3]
+    nn = normals[idx]                     # [M,k,3]
+    plane = ((query[:, None, :] - p) * nn).sum(-1)   # [M,k]
+    wgt = 1.0 / (d2 + 1e-6)
+    return (plane * wgt).sum(-1) / wgt.sum(-1)
+
+
+# --------------------------------------------------------------------------
+# FFT Poisson indicator field
+# --------------------------------------------------------------------------
+
+def _trilinear_scatter(grid, pts01, vals, res):
+    """Scatter vals [N,C] at continuous grid coords pts01*(res-1) into
+    grid [R,R,R,C] with trilinear weights."""
+    g = pts01 * (res - 1)
+    g0 = jnp.floor(g).astype(jnp.int32)
+    frac = g - g0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (jnp.where(dx, frac[:, 0], 1 - frac[:, 0])
+                     * jnp.where(dy, frac[:, 1], 1 - frac[:, 1])
+                     * jnp.where(dz, frac[:, 2], 1 - frac[:, 2]))
+                ix = jnp.clip(g0[:, 0] + dx, 0, res - 1)
+                iy = jnp.clip(g0[:, 1] + dy, 0, res - 1)
+                iz = jnp.clip(g0[:, 2] + dz, 0, res - 1)
+                grid = grid.at[ix, iy, iz].add(w[:, None] * vals)
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def poisson_indicator_grid(
+    points01: jnp.ndarray,   # [N, 3] in [0, 1] (grid frame, padded)
+    normals: jnp.ndarray,    # [N, 3] outward unit normals
+    res: int = 128,
+    smooth_sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Solve lap(chi) = div(V) for the smoothed indicator gradient field V
+    splatted from oriented normals; returns chi [R,R,R] with the iso level
+    shifted so ~0 lies at the input samples (negative = inside)."""
+    vec = jnp.zeros((res, res, res, 3), jnp.float32)
+    vec = _trilinear_scatter(vec, points01, -normals, res)
+
+    # gaussian smoothing in fourier domain + spectral divergence/inv-laplace
+    f = jnp.fft.fftfreq(res)
+    kx, ky, kz = jnp.meshgrid(f, f, f, indexing="ij")
+    k2 = kx * kx + ky * ky + kz * kz
+    gauss = jnp.exp(-2.0 * (jnp.pi ** 2) * (smooth_sigma ** 2) * k2)
+
+    Vx = jnp.fft.fftn(vec[..., 0]) * gauss
+    Vy = jnp.fft.fftn(vec[..., 1]) * gauss
+    Vz = jnp.fft.fftn(vec[..., 2]) * gauss
+    two_pi_i = 2j * jnp.pi
+    div = two_pi_i * (kx * Vx + ky * Vy + kz * Vz)
+    denom = -(two_pi_i ** 2) * k2  # = 4 pi^2 k2
+    chi_hat = jnp.where(k2 > 0, div / jnp.where(k2 > 0, denom, 1.0), 0.0)
+    chi = jnp.real(jnp.fft.ifftn(chi_hat))
+
+    # iso level = mean chi at the sample positions
+    g = points01 * (res - 1)
+    gi = jnp.clip(jnp.round(g).astype(jnp.int32), 0, res - 1)
+    level = chi[gi[:, 0], gi[:, 1], gi[:, 2]].mean()
+    return chi - level
+
+
+# --------------------------------------------------------------------------
+# Grid evaluation helpers
+# --------------------------------------------------------------------------
+
+def make_grid_coords(res: int, lo: float = -0.6, hi: float = 0.6):
+    """Dense [R^3, 3] grid covering the normalized unit cube with margin.
+    Shapes are normalized to [-0.5, 0.5] (reference demo.py:377-380)."""
+    axis = np.linspace(lo, hi, res, dtype=np.float32)
+    g = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), axis=-1)
+    return g.reshape(-1, 3), axis
+
+
+def eval_sdf_on_grid(sdf_fn, res: int, lo=-0.6, hi=0.6,
+                     chunk: int = 65536) -> np.ndarray:
+    """Evaluate an [M,3]->[M] field function over the dense grid in chunks
+    (dense evaluation replaces the reference's python region-growing loop,
+    models/POCO/generate.py:70-142 — on TPU dense is faster than control
+    flow)."""
+    coords, _ = make_grid_coords(res, lo, hi)
+    out = np.empty((coords.shape[0],), np.float32)
+    for i in range(0, coords.shape[0], chunk):
+        c = jnp.asarray(coords[i:i + chunk])
+        out[i:i + chunk] = np.asarray(sdf_fn(c))
+    return out.reshape(res, res, res)

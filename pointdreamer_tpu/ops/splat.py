@@ -1,0 +1,105 @@
+"""Point splatting and depth-based point visibility.
+
+Replaces the reference's paint_pixels scatter (ours_utils.py:456-495) and
+get_point_validation_by_depth z-test (ours_utils.py:153-202), plus the
+Open3D hidden-point-removal path (ours_utils.py:204-225) re-implemented as
+spherical flip + host convex hull (scipy) — the algorithm o3d implements
+(Katz et al. 2007).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def paint_pixels(img: jnp.ndarray, pixels: jnp.ndarray, colors: jnp.ndarray,
+                 point_size: int = 1, valid=None) -> jnp.ndarray:
+    """Scatter colors into an image.
+
+    img: [H, W, C]; pixels: [N, 2] int (row, col); colors: [N, C] or scalar.
+    point_size semantics follow the reference (paint also neighbors within
+    chebyshev distance point_size-1, ours_utils.py:456-495).
+    `valid` [N] bool masks points without dynamic shapes (invalid points are
+    routed to an out-of-range row that XLA's scatter drops).
+    """
+    h, w = img.shape[:2]
+    if colors.ndim == 1:
+        colors = jnp.broadcast_to(colors[None, :], (pixels.shape[0],) + colors.shape)
+    rows, cols = pixels[:, 0], pixels[:, 1]
+    if valid is not None:
+        rows = jnp.where(valid, rows, h + 10)  # dropped by scatter
+    offs = range(-point_size + 1, point_size)
+    out = img
+    for dy in offs:
+        for dx in offs:
+            r = rows + dy
+            c = cols + dx
+            ok = (r >= 0) & (r < h) & (c >= 0) & (c < w)
+            r = jnp.where(ok, r, h + 10)
+            out = out.at[r, c].set(colors, mode="drop")
+    return out
+
+
+def paint_mask(mask: jnp.ndarray, pixels: jnp.ndarray, value: float,
+               point_size: int = 1, valid=None) -> jnp.ndarray:
+    """paint_pixels for an [H, W] scalar mask."""
+    out = paint_pixels(mask[..., None], pixels,
+                       jnp.full((pixels.shape[0], 1), value, mask.dtype),
+                       point_size, valid)
+    return out[..., 0]
+
+
+def point_visibility_by_depth(
+    point_ndc: jnp.ndarray,    # [V, N, 2]
+    point_depth: jnp.ndarray,  # [V, N]
+    mesh_depth: jnp.ndarray,   # [V, R, R] rasterized z-buffer (inf = bg)
+    offset: float = 1e-2,
+) -> jnp.ndarray:
+    """Visible iff the point's depth is within `offset` in front of the
+    rasterized surface depth at its pixel (reference
+    get_point_validation_by_depth, ours_utils.py:153-202; offset there is
+    1e-4 in NDC z — ours is linear z so the default differs).
+    Returns [V, N] bool.
+    """
+    res = mesh_depth.shape[-1]
+    pix = (point_ndc * 0.5 + 0.5) * res
+    pix = jnp.clip(pix, 0, res - 1).astype(jnp.int32)
+    rows, cols = pix[..., 1], pix[..., 0]
+    ref = jnp.take_along_axis(
+        mesh_depth.reshape(mesh_depth.shape[0], -1),
+        rows * res + cols, axis=1)
+    return (point_depth - ref) <= offset
+
+
+def hidden_point_removal_visibility(
+    points: np.ndarray,        # [N, 3] (host numpy)
+    eye_positions: np.ndarray, # [V, 3]
+    radius_param: float = 100.0,
+) -> np.ndarray:
+    """Katz et al. spherical-flip + convex-hull visibility, host-side.
+
+    Equivalent of o3d `hidden_point_removal` as used by
+    get_point_validation_by_o3d (ours_utils.py:204-225) with its
+    radius=100 parameter (configs/default.yaml:45).  Returns [V, N] bool.
+    """
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    vis = np.zeros((len(eye_positions), n), dtype=bool)
+    for i, eye in enumerate(np.asarray(eye_positions, dtype=np.float64)):
+        p = pts - eye[None]
+        norms = np.linalg.norm(p, axis=1)
+        radius = radius_param * norms.max()
+        # spherical flip
+        flipped = p + 2.0 * (radius - norms)[:, None] * (p / np.maximum(
+            norms[:, None], 1e-12))
+        allpts = np.concatenate([flipped, np.zeros((1, 3))], axis=0)
+        hull = ConvexHull(allpts, qhull_options="QJ")
+        idx = hull.vertices
+        idx = idx[idx < n]
+        vis[i, idx] = True
+    return vis

@@ -1,12 +1,18 @@
 """Test harness: CPU JAX with a virtual 8-device mesh for sharding tests."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the container's axon sitecustomize pins JAX_PLATFORMS=axon (real TPU);
+# tests must run on the virtual 8-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,262 @@
+"""Unit tests for ops: knn, image ops, rasterizer, iso-surface, sdf."""
+import numpy as np
+import jax.numpy as jnp
+import jax
+import pytest
+
+from pointdreamer_tpu.ops import image as oimg
+from pointdreamer_tpu.ops import knn as oknn
+from pointdreamer_tpu.ops import raster as orast
+from pointdreamer_tpu.ops import iso as oiso
+from pointdreamer_tpu.ops import sdf as osdf
+from pointdreamer_tpu.ops import splat as osplat
+
+
+# ------------------------------- knn --------------------------------------
+
+def test_knn_matches_scipy(rng):
+    from scipy.spatial import cKDTree
+
+    ref = rng.standard_normal((500, 3)).astype(np.float32)
+    q = rng.standard_normal((173, 3)).astype(np.float32)
+    d, i = oknn.knn(jnp.asarray(q), jnp.asarray(ref), 5)
+    tree = cKDTree(ref)
+    sd, si = tree.query(q, k=5)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d)), sd, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i), si)
+
+
+def test_knn_ref_valid_mask(rng):
+    ref = rng.standard_normal((64, 2)).astype(np.float32)
+    q = ref[:4]
+    valid = np.ones(64, bool)
+    valid[:4] = False  # exclude the queries themselves
+    d, i = oknn.knn(jnp.asarray(q), jnp.asarray(ref), 1,
+                    ref_valid=jnp.asarray(valid))
+    assert (np.asarray(i)[:, 0] >= 4).all()
+
+
+# ------------------------------ image -------------------------------------
+
+def test_scharr_detects_step_edge():
+    img = np.zeros((32, 32), np.float32)
+    img[:, 16:] = 255.0
+    e = np.asarray(oimg.scharr_edges(jnp.asarray(img)))
+    assert e[16, 16] > 100
+    assert e[16, 4] == 0
+
+
+def test_dilate_square():
+    m = np.zeros((16, 16), np.float32)
+    m[8, 8] = 1.0
+    d = np.asarray(oimg.dilate(jnp.asarray(m), 3))
+    assert d[7:10, 7:10].min() == 1.0
+    assert d.sum() == 9.0
+
+
+def test_inner_edge_mask():
+    m = np.zeros((16, 16), bool)
+    m[4:12, 4:12] = True
+    e = np.asarray(oimg.inner_edge_mask(jnp.asarray(m)))
+    assert e[4, 4] and e[4, 8] and e[11, 11]
+    assert not e[8, 8]
+    assert not e[0, 0]
+
+
+def test_nearest_fill_exact_vs_scipy(rng):
+    from scipy.interpolate import griddata
+
+    h = w = 48
+    valid = rng.random((h, w)) < 0.05
+    valid[0, 0] = True
+    vals = rng.random((h, w, 3)).astype(np.float32)
+    out, src = oimg.nearest_fill(jnp.asarray(vals), jnp.asarray(valid),
+                                 return_sources=True)
+    out, src = np.asarray(out), np.asarray(src)
+    # scipy reference distances
+    yy, xx = np.mgrid[0:h, 0:w]
+    pts = np.stack([yy[valid], xx[valid]], 1)
+    ref = griddata(pts, vals[valid], (yy, xx), method="nearest")
+    from scipy.spatial import cKDTree
+
+    d_exact, _ = cKDTree(pts).query(np.stack([yy.ravel(), xx.ravel()], 1))
+    d_mine = np.sqrt(((np.stack([yy, xx], -1) - src) ** 2).sum(-1)).ravel()
+    # tie-agnostic: our chosen source must be (near-)optimal in distance
+    assert (d_mine <= d_exact + 1e-4).mean() > 0.999
+    # values agree except at genuine distance ties (integer pixel grids
+    # tie often; scipy breaks ties by point order, JFA by propagation order)
+    mismatch = (np.abs(out - ref).max(-1) > 1e-5).mean()
+    assert mismatch < 0.08
+
+
+def test_pullpush_fill_interpolates():
+    h = w = 32
+    vals = np.zeros((h, w, 1), np.float32)
+    valid = np.zeros((h, w), bool)
+    vals[0, :, 0] = 0.0
+    vals[-1, :, 0] = 1.0
+    valid[0, :] = True
+    valid[-1, :] = True
+    out = np.asarray(oimg.pullpush_fill(jnp.asarray(vals), jnp.asarray(valid)))
+    assert np.isfinite(out).all()
+    # mid rows should be between the boundary values and increase downward
+    assert 0.2 < out[h // 2, w // 2, 0] < 0.8
+    assert out[h // 4, w // 2, 0] < out[3 * h // 4, w // 2, 0]
+
+
+def test_rescale_about_center():
+    img = np.zeros((1, 32, 32), np.float32)
+    img[0, 8:24, 8:24] = 1.0
+    out = np.asarray(oimg.rescale_about_center(jnp.asarray(img),
+                                               jnp.asarray(0.5)))
+    # shrunk square occupies ~ quarter the area, still centered
+    assert out[0, 16, 16] == 1.0
+    assert abs(out.sum() - 16 * 16 * 0.25) < 40
+    assert out[0, 9, 9] == 0.0
+
+
+# ------------------------------ raster ------------------------------------
+
+def test_rasterize_single_triangle():
+    verts = jnp.asarray([[-0.5, -0.5], [0.5, -0.5], [0.0, 0.5]])
+    depth = jnp.asarray([1.0, 1.0, 1.0])
+    faces = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    out = orast.rasterize(verts, depth, faces, res=64, chunk=8)
+    fid = np.asarray(out.face_id)
+    assert (fid == 0).sum() > 200          # covered area
+    assert fid[2, 2] == -1                  # corner is background
+    # triangle apex at ndc y=+0.5 -> bottom half (rows > 32)
+    assert (fid[48] == 0).any()
+    cov = np.asarray(out.zbuf)[fid == 0]
+    np.testing.assert_allclose(cov, 1.0, atol=1e-5)
+    b = np.asarray(out.bary)[fid == 0]
+    np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-4)
+
+
+def test_rasterize_depth_order():
+    # two overlapping triangles; nearer one must win
+    verts = jnp.asarray([
+        [-0.8, -0.8], [0.8, -0.8], [0.0, 0.8],     # far tri
+        [-0.8, -0.8], [0.8, -0.8], [0.0, 0.8],     # near tri (same shape)
+    ])
+    depth = jnp.asarray([2.0, 2.0, 2.0, 1.0, 1.0, 1.0])
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+    out = orast.rasterize(verts, depth, faces, res=32, chunk=1)
+    fid = np.asarray(out.face_id)
+    assert (fid == 1).sum() > 0
+    assert (fid == 0).sum() == 0  # far tri fully occluded
+
+
+def test_interpolate_attributes():
+    verts = jnp.asarray([[-1.0, -1.0], [1.0, -1.0], [0.0, 1.0]])
+    depth = jnp.ones(3)
+    faces = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    out = orast.rasterize(verts, depth, faces, res=32, chunk=1)
+    attr = jnp.asarray([[0.0], [1.0], [0.5]])
+    vals = np.asarray(orast.interpolate(attr, faces, out.face_id, out.bary))
+    fid = np.asarray(out.face_id)
+    inside = vals[fid == 0, 0]
+    assert inside.min() >= -1e-4 and inside.max() <= 1.0 + 1e-4
+
+
+def test_face_normals():
+    v = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0.0]])
+    f = jnp.asarray([[0, 1, 2]])
+    n = np.asarray(orast.face_normals(v, f))
+    np.testing.assert_allclose(n, [[0, 0, 1]], atol=1e-6)
+
+
+# ----------------------------- iso-surface --------------------------------
+
+def test_marching_tets_sphere():
+    res = 33
+    axis = np.linspace(-0.6, 0.6, res, dtype=np.float32)
+    g = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 0.4
+    verts, faces = oiso.marching_tets(sdf.astype(np.float32), axis,
+                                      bucket=2048)
+    assert len(verts) > 200 and len(faces) > 400
+    r = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(r, 0.4, atol=0.05)
+    # closed orientable surface: every edge shared by exactly 2 faces
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+    ekey = np.sort(edges, 1)
+    _, counts = np.unique(ekey, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # outward winding: normals point away from center
+    fn = np.asarray(orast.face_normals(jnp.asarray(verts),
+                                       jnp.asarray(faces)))
+    centers = verts[faces].mean(1)
+    outward = (fn * centers).sum(-1)
+    assert (outward > 0).mean() > 0.99
+
+
+# ------------------------------- sdf --------------------------------------
+
+def _sphere_cloud(n=2000, r=0.4, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return (v * r).astype(np.float32), v.astype(np.float32)
+
+
+def test_normal_estimation_sphere():
+    pts, true_n = _sphere_cloud()
+    est = osdf.estimate_oriented_normals(pts, k_pca=12, k_mst=8)
+    cos = np.abs((est * true_n).sum(-1))
+    assert np.median(cos) > 0.98
+    # orientation consistency: signed dot mostly same sign
+    sgn = np.sign((est * true_n).sum(-1))
+    assert abs(sgn.mean()) > 0.95
+
+
+def test_hoppe_sdf_sphere():
+    pts, true_n = _sphere_cloud()
+    f_in = np.asarray(osdf.hoppe_sdf(jnp.zeros((1, 3)), jnp.asarray(pts),
+                                     jnp.asarray(true_n)))
+    f_out = np.asarray(osdf.hoppe_sdf(jnp.asarray([[0.55, 0, 0]]),
+                                      jnp.asarray(pts), jnp.asarray(true_n)))
+    assert f_in[0] < -0.2 and f_out[0] > 0.05
+
+
+def test_poisson_fft_sphere():
+    pts, true_n = _sphere_cloud(4000)
+    pts01 = pts / 1.2 + 0.5
+    chi = np.asarray(osdf.poisson_indicator_grid(
+        jnp.asarray(pts01), jnp.asarray(true_n), res=64))
+    assert chi[32, 32, 32] < 0          # center inside
+    assert chi[2, 2, 2] > 0             # corner outside
+
+
+# ------------------------------- splat ------------------------------------
+
+def test_paint_pixels_and_visibility():
+    img = jnp.zeros((16, 16, 3))
+    pix = jnp.asarray([[2, 3], [10, 10]])
+    col = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]])
+    out = np.asarray(osplat.paint_pixels(img, pix, col, point_size=1))
+    np.testing.assert_allclose(out[2, 3], [1, 0, 0])
+    np.testing.assert_allclose(out[10, 10], [0, 1, 0])
+    # valid mask drops a point
+    out = np.asarray(osplat.paint_pixels(img, pix, col, 1,
+                                         valid=jnp.asarray([True, False])))
+    assert out[10, 10].sum() == 0
+
+    # depth visibility: a point behind the z-buffer surface is invisible
+    mesh_depth = jnp.full((1, 8, 8), 1.0)
+    ndc = jnp.zeros((1, 2, 2))
+    depth = jnp.asarray([[0.99, 1.5]])
+    vis = np.asarray(osplat.point_visibility_by_depth(
+        ndc, depth, mesh_depth, offset=0.05))
+    assert vis[0, 0] and not vis[0, 1]
+
+
+def test_hidden_point_removal_sphere():
+    pts, _ = _sphere_cloud(1500)
+    eyes = np.array([[0, 0, -1.6]])
+    vis = osplat.hidden_point_removal_visibility(pts, eyes, 100.0)
+    front = pts[:, 2] < -0.2
+    back = pts[:, 2] > 0.2
+    assert vis[0, front].mean() > 0.7
+    assert vis[0, back].mean() < 0.1
