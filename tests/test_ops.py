@@ -125,8 +125,9 @@ def test_rasterize_single_triangle():
     fid = np.asarray(out.face_id)
     assert (fid == 0).sum() > 200          # covered area
     assert fid[2, 2] == -1                  # corner is background
-    # triangle apex at ndc y=+0.5 -> bottom half (rows > 32)
-    assert (fid[48] == 0).any()
+    # triangle apex at ndc y=+0.5 -> extends into bottom half (rows > 32)
+    assert (fid[40] == 0).any()
+    assert (fid[50] == 0).sum() == 0  # below the apex row: background
     cov = np.asarray(out.zbuf)[fid == 0]
     np.testing.assert_allclose(cov, 1.0, atol=1e-5)
     b = np.asarray(out.bary)[fid == 0]
