@@ -216,6 +216,32 @@ def pullpush_fill(values: jnp.ndarray, valid: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# Differentiable bilinear sampling
+# --------------------------------------------------------------------------
+
+def bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Sample img [H,W,C] at continuous uv [...,2] in [0,1] (u -> col,
+    v -> row), bilinear, clamped borders.  Differentiable wrt img and uv —
+    the texture lookup inside the atlas optimization (replacing
+    kal.render.mesh.texture_mapping, ours_utils.py:1734)."""
+    h, w = img.shape[:2]
+    x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    c00 = img[y0, x0]
+    c01 = img[y0, x1]
+    c10 = img[y1, x0]
+    c11 = img[y1, x1]
+    return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+            + (c10 * (1 - fx) + c11 * fx) * fy)
+
+
+# --------------------------------------------------------------------------
 # Dynamic rescale about the image center
 # --------------------------------------------------------------------------
 

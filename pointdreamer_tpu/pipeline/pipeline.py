@@ -1,0 +1,202 @@
+"""End-to-end orchestration: colored point cloud -> textured mesh.
+
+Reference: demo.py prepare/recon_one_textured_mesh/colorize_one_mesh
+(demo.py:38-497).  Stage-level caching mirrors the reference (cached
+untextured mesh OBJ demo.py:391-408, cached unwrap demo.py:429-448,
+cached inpainted view PNGs demo.py:138-147).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import io as pio
+from ..core.camera import CameraRig, make_camera_rig
+from ..core.config import PipelineConfig
+from ..core.log import StageTimer, get_logger
+from ..ops import raster as orast
+from . import complete as pcomplete
+from . import export as pexport
+from . import geometry as pgeo
+from . import inpaint as pinpaint
+from . import optimize as popt
+from . import project as pproject
+from . import unwrap as punwrap
+from . import unproject as punproject
+
+
+@dataclass
+class Pipeline:
+    """Holds the per-process state: config, cameras, models, logger."""
+
+    cfg: PipelineConfig
+    rig: CameraRig
+    inpainter: object = None     # models.diffusion.DDNMInpainter or None
+    poco_apply: object = None    # occupancy field fn or None
+    logger: object = None
+
+    @classmethod
+    def create(cls, cfg: PipelineConfig, log_file: Optional[str] = None):
+        logger = get_logger(log_file)
+        rig = make_camera_rig(cfg.view_num, cfg.cam_distance, cfg.cam_res,
+                              cfg.cam_fov_deg, cfg.camera_distribution)
+        inpainter = None
+        if cfg.texture_gen_method == "DDNM_inpaint":
+            from ..models.diffusion import load_inpainter
+
+            inpainter = load_inpainter(cfg.diffusion_checkpoint, logger)
+        poco_apply = None
+        if cfg.geo_from == "POCO" and cfg.poco_checkpoint:
+            from ..models.occupancy import load_poco_field
+
+            poco_apply = load_poco_field(cfg.poco_checkpoint, logger)
+        return cls(cfg=cfg, rig=rig, inpainter=inpainter,
+                   poco_apply=poco_apply, logger=logger)
+
+    # ------------------------------------------------------------------
+    def recon_one_textured_mesh(self, pc_file: str, name: Optional[str] = None,
+                                timer: Optional[StageTimer] = None) -> str:
+        cfg = self.cfg
+        log = self.logger
+        timer = timer or StageTimer(log)
+        name = name or os.path.splitext(os.path.basename(pc_file))[0]
+        out_root = os.path.join(cfg.output_path, name)
+        geo_dir = os.path.join(out_root, "geo")
+        others_dir = os.path.join(out_root, "others")
+        os.makedirs(geo_dir, exist_ok=True)
+        os.makedirs(others_dir, exist_ok=True)
+
+        # ---- input ----------------------------------------------------
+        xyz, rgb = pio.read_ply_xyzrgb(pc_file)
+        if len(xyz) > cfg.max_points:
+            raise ValueError(
+                f"Point number > {cfg.max_points}! ({len(xyz)} points in "
+                f"{pc_file}); subsample the input first")  # demo.py:372-374
+        xyz_n, center, scale = pgeo.normalize_points(xyz)
+        colors = jnp.asarray(rgb.astype(np.float32) / 255.0)
+        if cfg.save_input_pc:
+            pio.save_colored_pc_ply(xyz_n, np.asarray(colors),
+                                    os.path.join(out_root, "input_pc.ply"))
+
+        # ---- geometry (cached) ----------------------------------------
+        with timer.stage("geometry"):
+            cached_geo = pc_file.replace(".ply", "_untextured_mesh.obj")
+            own_geo = os.path.join(geo_dir, "untextured.obj")
+            if os.path.exists(cached_geo):
+                m = pio.load_obj(cached_geo)
+                verts = (m["vertices"] - center) / scale
+                faces = m["faces"]
+            elif os.path.exists(own_geo):
+                m = pio.load_obj(own_geo)
+                verts, faces = m["vertices"], m["faces"]
+            else:
+                verts, faces = pgeo.reconstruct_mesh(
+                    xyz_n, cfg.geo_from, cfg.grid_res, cfg.target_face_num,
+                    cfg.noise_stddev if not cfg.input_already_noisy else None,
+                    self.poco_apply)
+                pio.save_obj(verts, faces, own_geo)
+
+        verts_j = jnp.asarray(verts)
+        faces_j = jnp.asarray(faces)
+        f_normals = orast.face_normals(verts_j, faces_j)
+
+        # ---- unwrap + atlas bake (cached) -----------------------------
+        with timer.stage("unwrap"):
+            R = cfg.xatlas_texture_res
+            unwrap_cache = os.path.join(geo_dir, f"unwrap_{R}.npz")
+            if os.path.exists(unwrap_cache):
+                z = np.load(unwrap_cache)
+                uvs, face_uv_idx = z["uvs"], z["face_uv_idx"]
+            else:
+                uvs, face_uv_idx = punwrap.unwrap(verts, faces, atlas_res=R)
+                np.savez(unwrap_cache, uvs=uvs, face_uv_idx=face_uv_idx)
+            atlas = punwrap.bake_atlas(verts_j, faces_j, uvs, face_uv_idx, R)
+
+        # ---- project + sparse images ----------------------------------
+        with timer.stage("project"):
+            proj = pproject.project_views(
+                self.rig, verts_j, faces_j, jnp.asarray(xyz_n),
+                crop=cfg.crop_img, padding=cfg.crop_padding,
+                depth_offset=cfg.depth_offset)
+            if cfg.point_validation_by_o3d:
+                proj = pproject.add_hpr_visibility(
+                    proj, xyz_n, self.rig, cfg.hidden_point_removal_radius)
+            sparse = pproject.make_sparse_images(
+                proj, colors, cfg.res, cfg.point_size, cfg.edge_point_size,
+                cfg.mask_ratio_thresh)
+            for i in range(self.rig.num_views):
+                pio.save_rgb(np.asarray(sparse.sparse_imgs[i]),
+                             os.path.join(others_dir, f"{i}_sparse.png"))
+
+        # ---- inpaint (cached) -----------------------------------------
+        with timer.stage("inpaint"):
+            cached = [os.path.join(others_dir, f"{i}_inpainted.png")
+                      for i in range(self.rig.num_views)]
+            if all(os.path.exists(p) for p in cached):
+                inpainted = jnp.asarray(
+                    np.stack([pio.load_rgb(p) for p in cached]))
+            else:
+                inpainted = pinpaint.get_inpainted_images(
+                    sparse.sparse_imgs, sparse.hard_mask0, sparse.hard_mask2,
+                    cfg.texture_gen_method, self.inpainter)
+                for i, p in enumerate(cached):
+                    pio.save_rgb(np.asarray(inpainted[i]), p)
+
+        # ---- unproject (NBF) ------------------------------------------
+        with timer.stage("unproject"):
+            up = punproject.unproject(
+                inpainted, self.rig, f_normals,
+                atlas["gb_pos"], atlas["mask"],
+                atlas["per_atlas_pixel_face_id"],
+                proj.mesh_depths, proj.uv_centers, proj.uv_scales,
+                proj.padding, sparse.scale_factors,
+                kernel_sizes=tuple(
+                    k * max(R // 256, 1) if k else 0
+                    for k in cfg.edge_dilate_kernels),
+                view_res=cfg.res, depth_offset=cfg.depth_offset,
+                complete_by_projection=(cfg.complete_unseen_by == "unproject"))
+
+        # ---- complete unseen ------------------------------------------
+        with timer.stage("complete"):
+            if cfg.complete_unseen_by == "neighbor":
+                atlas_img = pcomplete.complete_by_neighbors(
+                    verts, faces, uvs, face_uv_idx,
+                    up.atlas_img, up.atlas_painted, atlas["mask"],
+                    atlas["per_atlas_pixel_face_id"])
+            elif cfg.complete_unseen_by == "optimize":
+                from ..models.texture_field import fit_and_paint
+
+                atlas_img = fit_and_paint(
+                    up.atlas_img, up.atlas_painted, atlas["gb_pos"],
+                    atlas["mask"], jnp.asarray(xyz_n), colors)
+                atlas_img = pcomplete.dilate_atlas(atlas_img, up.atlas_painted)
+            else:  # 'unproject'
+                atlas_img = pcomplete.dilate_atlas(up.atlas_img,
+                                                   up.atlas_painted)
+
+        # ---- optimize -------------------------------------------------
+        if cfg.optimize_from and cfg.optimize_from != "None":
+            with timer.stage("optimize"):
+                init = None if cfg.optimize_from == "scratch" else atlas_img
+                svis = (up.shrunk_visibility
+                        if cfg.optimize_from == "ours" else None)
+                atlas_img, _ = popt.optimize_color(
+                    init, inpainted, self.rig, verts_j, faces_j,
+                    jnp.asarray(uvs), jnp.asarray(face_uv_idx),
+                    proj.uv_centers, proj.uv_scales, proj.padding,
+                    sparse.scale_factors, svis,
+                    render_res=min(cfg.xatlas_texture_res, 1024),
+                    lr=cfg.optimize_lr, iterations=cfg.optimize_iters)
+
+        # ---- export ---------------------------------------------------
+        with timer.stage("export"):
+            obj_path = pexport.save_textured_mesh(
+                verts, uvs, faces, face_uv_idx, atlas_img, atlas["mask"],
+                out_root)
+        if log:
+            log.info("stage timings:\n" + timer.report())
+        return obj_path

@@ -1,0 +1,118 @@
+"""Integration tests: unwrap, geometry, and the full end-to-end pipeline
+(texture_gen_method='nearest', CPU-runnable — the reference's
+configs/nearest.yaml path needs no checkpoints either)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pointdreamer_tpu.core import io as pio
+from pointdreamer_tpu.core.config import PipelineConfig
+from pointdreamer_tpu.pipeline import geometry as pgeo
+from pointdreamer_tpu.pipeline import unwrap as punwrap
+from pointdreamer_tpu.pipeline.pipeline import Pipeline
+
+
+def _cube_mesh():
+    # 8 verts, 12 faces
+    v = np.array([[x, y, z] for x in (-.5, .5) for y in (-.5, .5)
+                  for z in (-.5, .5)], np.float32)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2],   # x=-0.5
+        [4, 6, 7], [4, 7, 5],   # x=+0.5
+        [0, 4, 5], [0, 5, 1],   # y=-0.5
+        [2, 3, 7], [2, 7, 6],   # y=+0.5
+        [0, 2, 6], [0, 6, 4],   # z=-0.5
+        [1, 5, 7], [1, 7, 3],   # z=+0.5
+    ], np.int64)
+    return v, f
+
+
+def test_unwrap_cube():
+    v, f = _cube_mesh()
+    uvs, fuv = punwrap.unwrap(v, f, atlas_res=256)
+    assert uvs.min() >= 0 and uvs.max() <= 1
+    assert fuv.shape == f.shape
+    atlas = punwrap.bake_atlas(jnp.asarray(v), jnp.asarray(f), uvs, fuv, 128)
+    mask = np.asarray(atlas["mask"])
+    assert mask.mean() > 0.15          # decent packing coverage
+    # covered texels carry true on-surface world positions
+    gb = np.asarray(atlas["gb_pos"])[mask]
+    assert (np.abs(gb).max(axis=1) > 0.49).all()
+    assert (np.abs(gb) <= 0.501).all()
+    fid = np.asarray(atlas["per_atlas_pixel_face_id"])
+    assert fid[mask].min() >= 0 and fid[mask].max() < len(f)
+    # uv triangles of different charts don't overlap: every covered texel's
+    # interpolated position must be consistent with its face's plane
+    fv = v[f[fid[mask]]]
+    dists = np.abs(gb[:, None, :] - fv).min(1).max(-1)
+    assert np.percentile(dists, 99) < 0.55
+
+
+def test_geometry_sphere_cloud():
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((4000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (d * 0.5).astype(np.float32)
+    verts, faces = pgeo.reconstruct_mesh(pts, "hoppe", grid_res=48,
+                                         target_faces=2000)
+    assert 100 < len(faces) <= 2600
+    r = np.linalg.norm(verts, axis=1)
+    assert 0.4 < np.median(r) < 0.6
+
+
+def test_geometry_poisson_sphere_cloud():
+    rng = np.random.default_rng(1)
+    d = rng.standard_normal((4000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (d * 0.5).astype(np.float32)
+    verts, faces = pgeo.reconstruct_mesh(pts, "SPR", grid_res=48,
+                                         target_faces=2000)
+    assert 100 < len(faces) <= 2600
+    r = np.linalg.norm(verts, axis=1)
+    assert 0.35 < np.median(r) < 0.65
+
+
+@pytest.mark.parametrize("method", ["nearest", "linear"])
+def test_end_to_end_cube(tmp_path, demo_ply, method):
+    cfg = PipelineConfig(
+        output_path=str(tmp_path / "out"),
+        texture_gen_method=method,
+        geo_from="hoppe",
+        grid_res=48,
+        target_face_num=2000,
+        cam_res=128,
+        res=64,
+        view_num=8,
+        xatlas_texture_res=128,
+        edge_dilate_kernels=[5],
+        optimize_from="ours",
+        optimize_iters=4,
+        point_validation_by_o3d=True,
+        complete_unseen_by="neighbor",
+    )
+    pipe = Pipeline.create(cfg)
+    obj_path = pipe.recon_one_textured_mesh(demo_ply)
+    assert os.path.exists(obj_path)
+    out_root = os.path.dirname(os.path.dirname(obj_path))
+    png = os.path.join(out_root, "models", "model_normalized.png")
+    assert os.path.exists(png)
+
+    # texture sanity: the cube's color equals position+0.5; verify that
+    # sampling the exported texture at covered texels is correlated
+    m = pio.load_obj(obj_path)
+    atlas = pio.load_rgb(png)[::-1]          # undo the export flip
+    uvs = m["uvs"]
+    fuv = m["face_uv_idx"]
+    f = m["faces"]
+    v = m["vertices"]
+    # face centroid color check over a sample of faces
+    R = atlas.shape[0]
+    cent_uv = uvs[fuv].mean(1)
+    cent_pos = v[f].mean(1)
+    pix = np.clip((cent_uv * R).astype(int), 0, R - 1)
+    got = atlas[pix[:, 1], pix[:, 0]]
+    want = np.clip(cent_pos + 0.5, 0, 1)
+    err = np.abs(got - want).mean()
+    assert err < 0.22, f"mean texture error {err}"
