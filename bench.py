@@ -1,0 +1,58 @@
+"""Benchmark: end-to-end seconds/shape on the real TPU chip.
+
+Runs the full pipeline (nearest-fill texture path — the configuration that
+needs no pretrained checkpoints, reference configs/nearest.yaml) on the
+reference demo cloud clock.ply at full resolutions (8 views @ 512^2,
+atlas 1024^2, 128^3 geometry grid), one warmup run for compilation, then
+a timed run with all stage caches cleared.
+
+Prints ONE JSON line: sec/shape and the ratio vs the reference's ~60 s on
+an NVIDIA A100 (Readme.md:24; BASELINE.md).
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def run_once(pipe, out_dir, tag):
+    from pointdreamer_tpu.core.log import StageTimer
+
+    timer = StageTimer(logger=None, sync=True)
+    pipe.recon_one_textured_mesh(
+        "/root/reference/dataset/demo_data/clock.ply", tag, timer)
+    return timer
+
+
+def main():
+    from pointdreamer_tpu.core.config import load_config
+    from pointdreamer_tpu.pipeline.pipeline import Pipeline
+
+    out_dir = "/tmp/pd_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = load_config(os.path.join(os.path.dirname(__file__) or ".",
+                                   "configs", "nearest.yaml"))
+    cfg.output_path = out_dir
+    cfg.geo_from = "hoppe"  # no POCO checkpoint ships with the reference
+    cfg.save_input_pc = False
+    pipe = Pipeline.create(cfg)
+
+    run_once(pipe, out_dir, "warmup")          # compile
+    shutil.rmtree(out_dir, ignore_errors=True)  # drop stage caches
+    t0 = time.time()
+    timer = run_once(pipe, out_dir, "timed")
+    sec = time.time() - t0
+
+    baseline_a100 = 60.0  # reference end-to-end sec/shape on A100
+    print(json.dumps({
+        "metric": "sec_per_shape_e2e",
+        "value": round(sec, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_a100 / sec, 2),
+        "detail": {k: round(v, 3) for k, v in timer.times.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Diffusion inpainting model family (DDNM over the guided-diffusion UNet).
+
+Reference: models/DDNM (ddnm_inpainting.py Inpainter + guided_diffusion).
+"""
+from __future__ import annotations
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+from .ddnm import DDNMInpainter, ddnm_inpaint_batch, get_schedule_jump
+from .unet import UNetModel, imagenet256_unet, timestep_embedding
+
+
+def init_unet_params(model: UNetModel, rng_key=None, image_size: int = 256):
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, image_size, image_size, 3)),
+                           jnp.zeros((1,)))
+    return variables["params"]
+
+
+def load_inpainter(checkpoint_path=None, logger=None,
+                   t_sampling: int = 100, eta: float = 0.85,
+                   seed: int = 1234) -> DDNMInpainter:
+    """Build the DDNM inpainter (reference prepare(), demo.py:322-328).
+
+    With a checkpoint path, torch weights are converted; without one the
+    UNet is randomly initialized (the reference downloads
+    256x256_diffusion_uncond.pt — not available offline), which exercises
+    the full compute path but produces noise-quality textures: use
+    texture_gen_method 'nearest'/'linear' when no checkpoint exists.
+    """
+    model = imagenet256_unet()
+    if checkpoint_path:
+        from .convert import load_torch_checkpoint
+
+        if logger:
+            logger.info(f"Loading diffusion checkpoint {checkpoint_path}")
+        params = load_torch_checkpoint(checkpoint_path)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        warnings.warn("no diffusion checkpoint: UNet is randomly "
+                      "initialized; textures from DDNM_inpaint will be "
+                      "meaningless (use nearest/linear instead)")
+        params = init_unet_params(model)
+    return DDNMInpainter(model, params, t_sampling, eta, seed)

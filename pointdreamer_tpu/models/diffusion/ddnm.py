@@ -1,0 +1,129 @@
+"""DDNM inpainting sampler: one batched, scanned denoising loop.
+
+Reference: simplified_ddnm_inpainting (models/DDNM/guided_diffusion/
+diffusion.py:459-570) — per image sequentially, 100 DDIM steps each, xs
+chain staged through CPU.  Here ALL views denoise together in a single
+`lax.scan` over the 100-step schedule: 8x fewer UNet launches, zero
+host<->device traffic, bf16 UNet under jit.
+
+Faithful to the reference math (with its quirks):
+  x0_t       = (x_t - e_t sqrt(1-a_t)) / sqrt(a_t)          (Eq. 12)
+  x0_hat     = x0_t - lambda_t Ap(A(x0_t) - y)              (Eq. 17)
+  sigma_t    = sqrt(1 - a_next^2)      <- reference's square (:524)
+  x_next     = sqrt(a_next) x0_hat + sigma_t (c1 z + c2 e_t) (:548-552)
+with sigma_y = 0, eta = 0.85, linear betas 1e-4..0.02, T=1000, 100 steps
+(imagenet_256.yml:40-47), time-travel schedule degenerate at
+travel_length=1 (get_schedule_jump, diffusion.py:770-791).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_betas(num_timesteps: int = 1000, beta_start: float = 1e-4,
+               beta_end: float = 0.02) -> np.ndarray:
+    return np.linspace(beta_start, beta_end, num_timesteps,
+                       dtype=np.float64)
+
+
+def get_schedule_jump(t_sampling: int, travel_length: int = 1,
+                      travel_repeat: int = 1):
+    """Reference diffusion.py:770-791."""
+    jumps = {j: travel_repeat - 1
+             for j in range(0, t_sampling - travel_length, travel_length)}
+    t = t_sampling
+    ts = []
+    while t >= 1:
+        t = t - 1
+        ts.append(t)
+        if jumps.get(t, 0) > 0:
+            jumps[t] = jumps[t] - 1
+            for _ in range(travel_length):
+                t = t + 1
+                ts.append(t)
+    ts.append(-1)
+    return ts
+
+
+def compute_alpha(betas: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """cumprod(1-beta) with a prepended 1, indexed at t+1
+    (reference diffusion.py compute_alpha)."""
+    a = np.concatenate([[1.0], np.cumprod(1.0 - betas)])
+    return a[np.asarray(t) + 1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "t_sampling", "num_timesteps"))
+def ddnm_inpaint_batch(
+    model,                     # flax Module (static): eps = model.apply(...)
+    params,
+    masked_imgs: jnp.ndarray,  # [B,H,W,3] in [0,1], zeros where unknown
+    masks: jnp.ndarray,        # [B,H,W] or [B,H,W,1]; 1 = known pixel
+    rng_key: jnp.ndarray,
+    t_sampling: int = 100,
+    eta: float = 0.85,
+    num_timesteps: int = 1000,
+) -> jnp.ndarray:
+    """Returns inpainted images [B,H,W,3] in [0,1]."""
+    if masks.ndim == 3:
+        masks = masks[..., None]
+    B, H, W, _ = masked_imgs.shape
+
+    y = masked_imgs * 2.0 - 1.0          # data_transform (rescaled=true)
+    y = y * masks                        # y = A(x_orig)
+
+    skip = num_timesteps // t_sampling
+    times = get_schedule_jump(t_sampling)
+    pairs = np.array(list(zip(times[:-1], times[1:])), dtype=np.int64)
+    i_steps = pairs[:, 0] * skip
+    j_steps = np.where(pairs[:, 1] < 0, -1, pairs[:, 1] * skip)
+    betas = make_betas(num_timesteps)
+    at_arr = jnp.asarray(compute_alpha(betas, i_steps), jnp.float32)
+    at_next_arr = jnp.asarray(compute_alpha(betas, j_steps), jnp.float32)
+    t_arr = jnp.asarray(i_steps, jnp.float32)
+
+    key, sub = jax.random.split(rng_key)
+    x = jax.random.normal(sub, (B, H, W, 3), jnp.float32)
+
+    def step(carry, inp):
+        x, key = carry
+        t, at, at_next = inp
+        key, sub = jax.random.split(key)
+        et = model.apply({"params": params}, x,
+                         jnp.full((B,), t))[..., :3].astype(jnp.float32)
+        x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+        # sigma_y = 0 -> lambda = 1, gamma = sigma_t (Eq. 19 degenerate)
+        sigma_t = jnp.sqrt(1.0 - at_next ** 2)
+        x0_hat = x0_t - (x0_t * masks - y)      # Eq. 17 with A=Ap=mask
+        c1 = jnp.sqrt(1.0 - at_next) * eta
+        c2 = jnp.sqrt(1.0 - at_next) * jnp.sqrt(1.0 - eta ** 2)
+        z = jax.random.normal(sub, x.shape, jnp.float32)
+        x_next = jnp.sqrt(at_next) * x0_hat + sigma_t * (c1 * z + c2 * et)
+        return (x_next, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), (t_arr, at_arr, at_next_arr))
+    return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+
+
+class DDNMInpainter:
+    """Wrapper bundling the flax UNet + params (reference
+    ddnm_inpainting.py:15-44 Inpainter)."""
+
+    def __init__(self, model, params, t_sampling: int = 100,
+                 eta: float = 0.85, seed: int = 1234):
+        self.model = model
+        self.params = params
+        self.t_sampling = t_sampling
+        self.eta = eta
+        self.seed = seed
+
+    def inpaint(self, masked_imgs, masks, rng_key=None):
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(self.seed)
+        return ddnm_inpaint_batch(self.model, self.params, masked_imgs,
+                                  masks, rng_key, self.t_sampling, self.eta)

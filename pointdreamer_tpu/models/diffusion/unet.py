@@ -1,0 +1,265 @@
+"""Guided-diffusion UNet in flax (NHWC, bf16 compute, fp32 norms).
+
+Architecture-exact port of the reference OpenAI 256x256 unconditional
+UNet (models/DDNM/guided_diffusion/unet.py:396 UNetModel, configured by
+script_util.py:130-186 + configs/imagenet_256.yml: 256 base channels,
+2 res blocks, channel_mult (1,1,2,2,4,4), attention at ds 8/16/32,
+num_head_channels 64, scale-shift GroupNorm, resblock up/down,
+learn_sigma -> 6 output channels).
+
+TPU-first differences from the torch code (none change the math):
+  - NHWC layout (TPU conv native) instead of NCHW,
+  - bf16 activations/weights on the torso, fp32 GroupNorm + softmax,
+  - attention is one batched einsum over heads (no reshape to bs*heads).
+
+The construction order exactly mirrors the torch module tree so
+convert.py can map `input_blocks.3.0.in_layers.0.weight`-style checkpoint
+keys onto the flax param tree mechanically.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embeddings (reference nn.py:103-121)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def _norm(name: str):
+    # GroupNorm32: computed in fp32 (reference nn.py GroupNorm32)
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                        name=name)
+
+
+class ResBlock(nn.Module):
+    """reference unet.py:143-257."""
+
+    out_channels: int
+    emb_channels: int
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, emb):
+        in_ch = x.shape[-1]
+        h = _norm("in_norm")(x).astype(self.dtype)
+        h = nn.silu(h)
+        if self.up:
+            h = _nearest_up2(h)
+            x = _nearest_up2(x)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), (2, 2))
+            x = nn.avg_pool(x, (2, 2), (2, 2))
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm
+            else self.out_channels, dtype=self.dtype, name="emb")(
+                nn.silu(emb)).astype(self.dtype)
+        emb_out = emb_out[:, None, None, :]
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = _norm("out_norm")(h).astype(self.dtype) * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = _norm("out_norm")(h).astype(self.dtype)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="skip")(x)
+        return x.astype(self.dtype) + h
+
+
+def _nearest_up2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+
+
+class AttentionBlock(nn.Module):
+    """reference unet.py:259-305 + QKVAttentionLegacy (:329-358)."""
+
+    num_head_channels: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        heads = c // self.num_head_channels
+        hd = self.num_head_channels
+        y = _norm("norm")(x.reshape(b, h * w, c)).astype(self.dtype)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
+        # legacy order: per head, channels are [q | k | v]
+        qkv = qkv.reshape(b, h * w, heads, 3 * hd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)            # [b,t,heads,hd]
+        scale = 1.0 / math.sqrt(math.sqrt(hd))
+        logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        a = jnp.einsum("bhts,bshd->bthd", weights.astype(self.dtype), v)
+        a = a.reshape(b, h * w, c)
+        out = nn.Dense(c, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros, name="proj")(a)
+        return x + out.reshape(b, h, w, c).astype(x.dtype)
+
+
+class Upsample(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = _nearest_up2(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+def unet_plan(model_channels=256, num_res_blocks=2,
+              channel_mult=(1, 1, 2, 2, 4, 4),
+              attention_ds=(8, 16, 32), resblock_updown=True):
+    """Reproduce the torch constructor's block layout (unet.py:470-607).
+
+    Returns (input_plan, middle_plan, output_plan, skip_channels) where each
+    plan entry is a list of (kind, out_ch, flags) describing the
+    TimestepEmbedSequential at that index — shared by the flax model and
+    the checkpoint converter.
+    """
+    ch = int(channel_mult[0] * model_channels)
+    input_plan: List[List[Tuple]] = [[("conv", ch, {})]]
+    skip_chans = [ch]
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            layers = [("res", int(mult * model_channels), {})]
+            ch = int(mult * model_channels)
+            if ds in attention_ds:
+                layers.append(("attn", ch, {}))
+            input_plan.append(layers)
+            skip_chans.append(ch)
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                input_plan.append([("res", ch, {"down": True})])
+            else:
+                input_plan.append([("down", ch, {})])
+            skip_chans.append(ch)
+            ds *= 2
+    middle_plan = [("res", ch, {}), ("attn", ch, {}), ("res", ch, {})]
+    output_plan: List[List[Tuple]] = []
+    for level, mult in list(enumerate(channel_mult))[::-1]:
+        for i in range(num_res_blocks + 1):
+            skip_chans.pop()
+            layers = [("res", int(model_channels * mult), {})]
+            ch = int(model_channels * mult)
+            if ds in attention_ds:
+                layers.append(("attn", ch, {}))
+            if level and i == num_res_blocks:
+                if resblock_updown:
+                    layers.append(("res", ch, {"up": True}))
+                else:
+                    layers.append(("up", ch, {}))
+                ds //= 2
+            output_plan.append(layers)
+    return input_plan, middle_plan, output_plan
+
+
+class UNetModel(nn.Module):
+    """Flax twin of reference UNetModel (unet.py:396-664)."""
+
+    model_channels: int = 256
+    out_channels: int = 6
+    num_res_blocks: int = 2
+    channel_mult: Sequence[int] = (1, 1, 2, 2, 4, 4)
+    attention_ds: Sequence[int] = (8, 16, 32)
+    num_head_channels: int = 64
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    dtype: Any = jnp.bfloat16
+
+    def _layer(self, kind, out_ch, flags, name):
+        if kind == "conv":
+            return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                           name=name)
+        if kind == "res":
+            return ResBlock(out_ch, 4 * self.model_channels,
+                            self.use_scale_shift_norm,
+                            up=flags.get("up", False),
+                            down=flags.get("down", False),
+                            dtype=self.dtype, name=name)
+        if kind == "attn":
+            return AttentionBlock(self.num_head_channels, dtype=self.dtype,
+                                  name=name)
+        if kind == "up":
+            return Upsample(out_ch, dtype=self.dtype, name=name)
+        if kind == "down":
+            return Downsample(out_ch, dtype=self.dtype, name=name)
+        raise ValueError(kind)
+
+    @nn.compact
+    def __call__(self, x, timesteps):
+        """x: [N, H, W, 3] float; timesteps: [N]. Returns [N, H, W, out]."""
+        input_plan, middle_plan, output_plan = unet_plan(
+            self.model_channels, self.num_res_blocks,
+            tuple(self.channel_mult), tuple(self.attention_ds),
+            self.resblock_updown)
+
+        emb = timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(4 * self.model_channels, dtype=self.dtype,
+                       name="time_embed_0")(emb.astype(self.dtype))
+        emb = nn.Dense(4 * self.model_channels, dtype=self.dtype,
+                       name="time_embed_2")(nn.silu(emb))
+
+        h = x.astype(self.dtype)
+        hs = []
+        for i, layers in enumerate(input_plan):
+            for j, (kind, oc, flags) in enumerate(layers):
+                mod = self._layer(kind, oc, flags, f"input_{i}_{j}")
+                h = mod(h, emb) if kind == "res" else mod(h)
+            hs.append(h)
+        for j, (kind, oc, flags) in enumerate(middle_plan):
+            mod = self._layer(kind, oc, flags, f"middle_{j}")
+            h = mod(h, emb) if kind == "res" else mod(h)
+        for i, layers in enumerate(output_plan):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            for j, (kind, oc, flags) in enumerate(layers):
+                mod = self._layer(kind, oc, flags, f"output_{i}_{j}")
+                h = mod(h, emb) if kind == "res" else mod(h)
+
+        h = _norm("out_norm")(h.astype(jnp.float32))
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
+                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        return h
+
+
+def imagenet256_unet(dtype=jnp.bfloat16) -> UNetModel:
+    """The demo's exact model (imagenet_256.yml:14-33)."""
+    return UNetModel(dtype=dtype)

@@ -60,11 +60,12 @@ def dilate(binary: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     """
     if kernel_size <= 1:
         return binary.astype(jnp.float32)
-    pad = (kernel_size - 1) // 2
+    pad_lo = (kernel_size - 1) // 2
+    pad_hi = kernel_size // 2
     x = binary.astype(jnp.float32)
     x = jnp.pad(
         x,
-        [(0, 0)] * (x.ndim - 2) + [(pad, pad), (pad, pad)],
+        [(0, 0)] * (x.ndim - 2) + [(pad_lo, pad_hi), (pad_lo, pad_hi)],
         mode="reflect",
     )
     return jax.lax.reduce_window(

@@ -154,8 +154,12 @@ class Pipeline:
                 atlas["per_atlas_pixel_face_id"],
                 proj.mesh_depths, proj.uv_centers, proj.uv_scales,
                 proj.padding, sparse.scale_factors,
+                # scale the NBF border width with atlas resolution, kept
+                # odd.  (The reference's `edge_dilate_kernels*(res//256)`
+                # at unproject.py:289 is python list REPETITION — kernel 21
+                # repeated 4x at res 1024 — we implement the evident intent)
                 kernel_sizes=tuple(
-                    k * max(R // 256, 1) if k else 0
+                    (k * max(R // 256, 1)) | 1 if k else 0
                     for k in cfg.edge_dilate_kernels),
                 view_res=cfg.res, depth_offset=cfg.depth_offset,
                 complete_by_projection=(cfg.complete_unseen_by == "unproject"))

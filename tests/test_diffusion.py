@@ -1,0 +1,157 @@
+"""Tests for the flax guided-diffusion UNet + DDNM sampler."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointdreamer_tpu.models.diffusion import (
+    DDNMInpainter,
+    UNetModel,
+    init_unet_params,
+)
+from pointdreamer_tpu.models.diffusion.ddnm import (
+    compute_alpha,
+    ddnm_inpaint_batch,
+    get_schedule_jump,
+    make_betas,
+)
+from pointdreamer_tpu.models.diffusion.convert import convert_torch_state_dict
+from pointdreamer_tpu.models.diffusion.unet import timestep_embedding, unet_plan
+
+
+def tiny_unet(**kw):
+    return UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                     channel_mult=(1, 2), attention_ds=(2,),
+                     num_head_channels=16, dtype=jnp.float32, **kw)
+
+
+def test_unet_shapes_and_grad_path():
+    model = tiny_unet()
+    params = init_unet_params(model, image_size=16)
+    x = jnp.ones((2, 16, 16, 3))
+    t = jnp.asarray([0.0, 500.0])
+    out = model.apply({"params": params}, x, t)
+    assert out.shape == (2, 16, 16, 6)
+    assert np.isfinite(np.asarray(out)).all()
+    # zero-init output conv -> exact zeros at init (reference zero_module)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_timestep_embedding_matches_reference_formula():
+    emb = np.asarray(timestep_embedding(jnp.asarray([0.0, 10.0]), 8))
+    assert emb.shape == (2, 8)
+    np.testing.assert_allclose(emb[0, :4], 1.0, atol=1e-6)  # cos(0)
+    np.testing.assert_allclose(emb[0, 4:], 0.0, atol=1e-6)  # sin(0)
+    half = 4
+    freqs = np.exp(-np.log(10000) * np.arange(half) / half)
+    np.testing.assert_allclose(emb[1, :4], np.cos(10 * freqs), atol=1e-5)
+
+
+def test_schedule_jump_plain_ddim():
+    ts = get_schedule_jump(100, 1, 1)
+    assert ts == list(range(99, -1, -1)) + [-1]
+    betas = make_betas()
+    a = compute_alpha(betas, np.array([-1, 0, 999]))
+    assert a[0] == 1.0
+    assert 0.999 < a[1] < 1.0
+    assert a[2] < 1e-4
+
+
+def test_ddnm_inpaint_runs_and_respects_known_pixels():
+    # with a zero-eps model, x0 estimate = x_t/sqrt(at); the data-consistency
+    # projection should still drive known pixels to y at the end
+    model = tiny_unet()
+    params = init_unet_params(model, image_size=16)
+    img = jnp.ones((2, 16, 16, 3)) * 0.75
+    mask = jnp.zeros((2, 16, 16))
+    mask = mask.at[:, :8].set(1.0)
+    out = ddnm_inpaint_batch(model, params, img * mask[..., None], mask,
+                             jax.random.PRNGKey(0), t_sampling=10)
+    out = np.asarray(out)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(out).all()
+    # known region close to the observation (zero-eps UNet -> DDIM noise
+    # terms vanish as at_next -> 1)
+    np.testing.assert_allclose(out[:, :8].mean(), 0.75, atol=0.05)
+
+
+def test_converter_bijection_with_flax_tree():
+    """Build a fake torch state dict from flax-init params via the inverse
+    mapping; convert; the result must equal the original tree exactly."""
+    model = tiny_unet()
+    params = init_unet_params(model, image_size=16)
+    plan_i, plan_m, plan_o = unet_plan(32, 1, (1, 2), (2,))
+
+    sd = {}
+
+    def put_conv(tp, p):
+        sd[tp + ".weight"] = np.asarray(p["kernel"]).transpose(3, 2, 0, 1)
+        sd[tp + ".bias"] = np.asarray(p["bias"])
+
+    def put_dense(tp, p):
+        sd[tp + ".weight"] = np.asarray(p["kernel"]).T
+        sd[tp + ".bias"] = np.asarray(p["bias"])
+
+    def put_conv1d(tp, p):
+        sd[tp + ".weight"] = np.asarray(p["kernel"]).T[..., None]
+        sd[tp + ".bias"] = np.asarray(p["bias"])
+
+    def put_norm(tp, p):
+        sd[tp + ".weight"] = np.asarray(p["scale"])
+        sd[tp + ".bias"] = np.asarray(p["bias"])
+
+    def put(kind, tp, p):
+        if kind == "conv":
+            put_conv(tp, p)
+        elif kind == "res":
+            put_norm(tp + ".in_layers.0", p["in_norm"])
+            put_conv(tp + ".in_layers.2", p["in_conv"])
+            put_dense(tp + ".emb_layers.1", p["emb"])
+            put_norm(tp + ".out_layers.0", p["out_norm"])
+            put_conv(tp + ".out_layers.3", p["out_conv"])
+            if "skip" in p:
+                put_conv(tp + ".skip_connection", p["skip"])
+        elif kind == "attn":
+            put_norm(tp + ".norm", p["norm"])
+            put_conv1d(tp + ".qkv", p["qkv"])
+            put_conv1d(tp + ".proj_out", p["proj"])
+        elif kind == "down":
+            put_conv(tp + ".op", p["conv"])
+        elif kind == "up":
+            put_conv(tp + ".conv", p["conv"])
+
+    put_dense("time_embed.0", params["time_embed_0"])
+    put_dense("time_embed.2", params["time_embed_2"])
+    put_norm("out.0", params["out_norm"])
+    put_conv("out.2", params["out_conv"])
+    for i, layers in enumerate(plan_i):
+        for j, (kind, _, _) in enumerate(layers):
+            put(kind, f"input_blocks.{i}.{j}", params[f"input_{i}_{j}"])
+    for j, (kind, _, _) in enumerate(plan_m):
+        put(kind, f"middle_block.{j}", params[f"middle_{j}"])
+    for i, layers in enumerate(plan_o):
+        for j, (kind, _, _) in enumerate(layers):
+            put(kind, f"output_blocks.{i}.{j}", params[f"output_{i}_{j}"])
+
+    conv = convert_torch_state_dict(sd, model_channels=32, num_res_blocks=1,
+                                    channel_mult=(1, 2), attention_ds=(2,))
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(conv)[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   atol=1e-6, err_msg=str(ka))
+    # converted tree must be apply()-compatible
+    out = model.apply({"params": conv}, jnp.ones((1, 16, 16, 3)),
+                      jnp.zeros((1,)))
+    assert out.shape == (1, 16, 16, 6)
+
+
+def test_full_imagenet256_plan_matches_torch_block_count():
+    # torch model has 22 input blocks (1 + 6*2 + 5 downs), 3 middle,
+    # 18 output blocks for channel_mult (1,1,2,2,4,4), num_res_blocks 2
+    pi, pm, po = unet_plan()
+    assert len(pi) == 1 + 6 * 2 + 5
+    assert len(pm) == 3
+    assert len(po) == 18
