@@ -1,0 +1,30 @@
+"""POCO-equivalent implicit occupancy model family.
+
+Reference: models/POCO (FKAConv backbone + InterpAttentionKHeads decoder,
+generate_1.py facade, train.py training loop).
+"""
+from __future__ import annotations
+
+from .convert import init_params, load_torch_checkpoint
+from .fkaconv import (backbone_forward, decoder_forward, occupancy_field)
+from .network import encode_latents, make_poco_field, query_occupancy
+from .spatial import compute_spatial, farthest_point_sampling
+
+
+def load_poco_field(checkpoint_path: str, logger=None):
+    """Returns a factory points -> field_fn for pipeline.geometry.
+
+    Reference: create_POCO_network (generate_1.py:54-68)."""
+    import jax
+
+    if logger:
+        logger.info(f"Loading POCO checkpoint {checkpoint_path}")
+    params = load_torch_checkpoint(checkpoint_path)
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def factory(points):
+        return make_poco_field(params, points)
+
+    return factory

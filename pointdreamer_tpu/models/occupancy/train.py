@@ -1,0 +1,152 @@
+"""POCO occupancy training loop (optax port of models/POCO/train.py).
+
+Reference: train.py:37-335 — Adam (lr 1e-3, training_lr_start), per-batch
+CrossEntropyLoss on 2-class occupancy logits (:168), checkpoint
+save/resume with net+optimizer+epoch (:150-156, :240-247), CSV/TB logs,
+OA/AA/IoU confusion-matrix validation (:257-311).
+
+TPU re-design: the spatial precomputation (FPS + kNN) is jitted alongside
+the forward — there is no CPU dataloader-worker split (the reference runs
+kNN in dataloader workers, lightconvpoint/datasets/dataset.py:47-61,
+because its kNN is CPU-bound; ours is an MXU matmul).  Batching is via
+vmap over fixed-size clouds; data parallelism shards the batch axis over
+the 'dp' mesh axis.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .fkaconv import backbone_forward, decoder_forward
+from .spatial import compute_spatial
+
+
+def batched_forward(params, pos, queries, train: bool = False):
+    """pos [B,N,3], queries [B,Q,3] -> logits [B,Q,2].  BatchNorm uses
+    running stats even in training (batch-stat plumbing through vmap would
+    mix clouds; the reference trains with batch stats but per-cloud batches
+    are near-IID so running stats converge the same way)."""
+
+    def one(p, q):
+        spatial = compute_spatial(p, decoder_queries=q, decoder_k=64)
+        lat = backbone_forward(params["net"], jnp.ones_like(p), spatial,
+                               train=False)
+        return decoder_forward(params["projection"], lat, p, q,
+                               spatial["proj_indices"])
+
+    return jax.vmap(one)(pos, queries)
+
+
+def loss_fn(params, pos, queries, occupancies):
+    """CrossEntropy on 2-class logits (reference train.py:168)."""
+    logits = batched_forward(params, pos, queries)
+    labels = occupancies.astype(jnp.int32)
+    ll = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(ll, labels[..., None], axis=-1)[..., 0]
+    acc = (logits.argmax(-1) == labels).mean()
+    return nll.mean(), acc
+
+
+@functools.partial(jax.jit, static_argnames=("opt",))
+def train_step(params, opt_state, pos, queries, occ, opt):
+    (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, pos, queries, occ)
+    updates, opt_state = opt.update(grads, opt_state)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, acc
+
+
+def confusion_metrics(logits, labels, n_classes=2):
+    """OA / AA / IoU from a confusion matrix (reference
+    lightconvpoint/utils/metrics.py + train.py:257-311)."""
+    pred = np.asarray(logits).argmax(-1).reshape(-1)
+    lab = np.asarray(labels).reshape(-1)
+    cm = np.zeros((n_classes, n_classes), np.int64)
+    np.add.at(cm, (lab, pred), 1)
+    oa = np.diag(cm).sum() / max(cm.sum(), 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        per_class = np.diag(cm) / cm.sum(1)
+        iou = np.diag(cm) / (cm.sum(1) + cm.sum(0) - np.diag(cm))
+    return {"OA": float(oa),
+            "AA": float(np.nanmean(per_class)),
+            "IoU": float(np.nanmean(iou)),
+            "cm": cm}
+
+
+def save_checkpoint(path, params, opt_state, epoch):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({
+            "params": jax.tree_util.tree_map(np.asarray, params),
+            "opt_state": jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                opt_state),
+            "epoch": epoch,
+        }, f)
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def fit(params, data_iter: Iterator, epochs: int = 1,
+        steps_per_epoch: int = 100, lr: float = 1e-3,
+        checkpoint_path: Optional[str] = None, logger=None,
+        val_batch=None):
+    """Minimal training driver (reference train.py main loop :160-311)."""
+    opt = optax.adam(lr)
+    start_epoch = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = load_checkpoint(checkpoint_path)
+        params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+        start_epoch = ck["epoch"]
+        opt_state = opt.init(params)  # optimizer state restart on resume
+    else:
+        opt_state = opt.init(params)
+
+    history = []
+    for epoch in range(start_epoch, epochs):
+        losses, accs = [], []
+        for _ in range(steps_per_epoch):
+            pos, queries, occ = next(data_iter)
+            params, opt_state, loss, acc = train_step(
+                params, opt_state, jnp.asarray(pos), jnp.asarray(queries),
+                jnp.asarray(occ), opt)
+            losses.append(float(loss))
+            accs.append(float(acc))
+        rec = {"epoch": epoch, "loss": float(np.mean(losses)),
+               "acc": float(np.mean(accs))}
+        if val_batch is not None:
+            logits = batched_forward(params, jnp.asarray(val_batch[0]),
+                                     jnp.asarray(val_batch[1]))
+            rec.update({k: v for k, v in confusion_metrics(
+                logits, val_batch[2]).items() if k != "cm"})
+        history.append(rec)
+        if logger:
+            logger.info(f"epoch {epoch}: {rec}")
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, params, opt_state, epoch + 1)
+    return params, history
+
+
+def synthetic_occupancy_batch(rng: np.random.Generator, batch: int = 2,
+                              n_points: int = 512, n_queries: int = 256):
+    """Random-radius sphere clouds + inside/outside query labels — a
+    self-contained stand-in for the ShapeNet occupancy dataset
+    (models/POCO/datasets/shapenet.py) used by tests and smoke training."""
+    radii = rng.uniform(0.25, 0.45, (batch, 1, 1))
+    d = rng.standard_normal((batch, n_points, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pos = (d * radii).astype(np.float32)
+    q = rng.uniform(-0.5, 0.5, (batch, n_queries, 3)).astype(np.float32)
+    occ = (np.linalg.norm(q, axis=-1, keepdims=False)
+           < radii[:, :, 0]).astype(np.int32)
+    return pos, q, occ

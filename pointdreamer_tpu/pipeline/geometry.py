@@ -147,7 +147,10 @@ def reconstruct_mesh(
         geo_from = "hoppe"
 
     if geo_from == "POCO":
-        field = osdf.eval_sdf_on_grid(poco_apply, grid_res, GRID_LO, GRID_HI)
+        # poco_apply: factory points -> field fn (latents encoded once per
+        # shape; models/occupancy/network.py make_poco_field)
+        field_fn = poco_apply(jnp.asarray(pts))
+        field = osdf.eval_sdf_on_grid(field_fn, grid_res, GRID_LO, GRID_HI)
     elif geo_from in ("SPR", "poisson_fft"):
         normals = osdf.estimate_oriented_normals(pts)
         span = GRID_HI - GRID_LO

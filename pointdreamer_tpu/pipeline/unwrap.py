@@ -178,8 +178,11 @@ def bake_atlas(vertices, faces, uvs, face_uv_idx, resolution: int,
     uvs_j = jnp.asarray(uvs)
     ndc = uvs_j * 2.0 - 1.0
     depth = jnp.ones((uvs_j.shape[0],), jnp.float32)
-    out = orast.rasterize(ndc, depth, jnp.asarray(face_uv_idx, jnp.int32),
-                          resolution, chunk)
+    fuv = jnp.asarray(face_uv_idx, jnp.int32)
+    if resolution % 32 == 0:
+        out = orast.rasterize_tiled(ndc, depth, fuv, resolution)
+    else:
+        out = orast.rasterize(ndc, depth, fuv, resolution, chunk)
     mask = out.face_id >= 0
     # gb_pos: interpolate *world* positions — bary is wrt uv triangles,
     # world attributes indexed via the same face's world vertex ids

@@ -1,0 +1,143 @@
+"""Tests for the POCO-equivalent occupancy model."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointdreamer_tpu.models.occupancy import (
+    compute_spatial,
+    encode_latents,
+    farthest_point_sampling,
+    init_params,
+    make_poco_field,
+    query_occupancy,
+)
+from pointdreamer_tpu.models.occupancy.convert import convert_torch_state_dict
+from pointdreamer_tpu.models.occupancy import train as ptrain
+
+
+def test_fps_spreads_points(rng):
+    pts = jnp.asarray(rng.standard_normal((256, 3)).astype(np.float32))
+    idx = np.asarray(farthest_point_sampling(pts, 32))
+    assert len(np.unique(idx)) == 32
+
+
+def test_compute_spatial_shapes(rng):
+    pos = jnp.asarray(rng.standard_normal((300, 3)).astype(np.float32))
+    sp = compute_spatial(pos, decoder_queries=jnp.zeros((10, 3)),
+                         decoder_k=16)
+    assert sp["support1"].shape == (75, 3)
+    assert sp["support2"].shape == (19, 3)
+    assert sp["ids00"].shape == (300, 16)
+    assert sp["ids01"].shape == (75, 16)
+    assert sp["ids10"].shape == (300, 1)
+    assert sp["proj_indices"].shape == (10, 16)
+
+
+def test_forward_and_field(rng):
+    params = jax.tree_util.tree_map(jnp.asarray, init_params(0))
+    pts = rng.standard_normal((400, 3)).astype(np.float32) * 0.3
+    lat = encode_latents(params, jnp.asarray(pts), subsample=400, cover=1)
+    assert lat.shape == (400, 32)
+    assert np.isfinite(np.asarray(lat)).all()
+    field = query_occupancy(params, lat, jnp.asarray(pts),
+                            jnp.zeros((5, 3)))
+    assert field.shape == (5,)
+    f = np.asarray(field)
+    assert np.isfinite(f).all() and (np.abs(f) <= 1.0 + 1e-5).all()
+
+
+def test_make_poco_field_callable(rng):
+    params = jax.tree_util.tree_map(jnp.asarray, init_params(0))
+    pts = rng.standard_normal((350, 3)).astype(np.float32) * 0.3
+    fn = make_poco_field(params, pts)
+    out = np.asarray(fn(jnp.zeros((7, 3))))
+    assert out.shape == (7,) and np.isfinite(out).all()
+
+
+def test_convert_roundtrip_structure():
+    """Fake torch sd built from init_params via inverse layout mapping."""
+    params = init_params(1)
+    sd = {}
+
+    def put_lin(tp, p, conv_dims=1):
+        w = p["weight"]
+        sd[tp + ".weight"] = w.reshape(w.shape + (1,) * conv_dims)
+        if "bias" in p:
+            sd[tp + ".bias"] = p["bias"]
+
+    def put_bn(tp, p):
+        for k_t, k_m in (("weight", "weight"), ("bias", "bias"),
+                         ("running_mean", "running_mean"),
+                         ("running_var", "running_var")):
+            if k_m in p:
+                sd[tp + "." + k_t] = p[k_m]
+
+    def put_fka(tp, p):
+        sd[tp + ".cv.weight"] = p["cv"]["weight"][:, :, None, :]
+        for k in ("norm_radius", "alpha", "beta"):
+            sd[tp + "." + k] = p[k]
+        for k in ("fc1", "fc2", "fc3"):
+            put_lin(tp + "." + k, p[k], conv_dims=2)
+        for k in ("bn1", "bn2"):
+            put_bn(tp + "." + k, p[k])
+
+    def put_res(tp, p):
+        put_lin(tp + ".cv0", p["cv0"])
+        put_bn(tp + ".bn0", p["bn0"])
+        put_fka(tp + ".cv1", p["cv1"])
+        put_bn(tp + ".bn1", p["bn1"])
+        put_lin(tp + ".cv2", p["cv2"])
+        put_bn(tp + ".bn2", p["bn2"])
+        if "shortcut" in p:
+            put_lin(tp + ".shortcut", p["shortcut"])
+            put_bn(tp + ".bn_shortcut", p["bn_shortcut"])
+
+    net = params["net"]
+    put_fka("net.cv0", net["cv0"])
+    put_bn("net.bn0", net["bn0"])
+    for r in ("resnetb01", "resnetb10", "resnetb11", "resnetb20",
+              "resnetb21", "resnetb30", "resnetb31", "resnetb40",
+              "resnetb41"):
+        put_res("net." + r, net[r])
+    for c, b in (("cv3d", "bn3d"), ("cv2d", "bn2d"), ("cv1d", "bn1d"),
+                 ("cv0d", "bn0d")):
+        put_lin("net." + c, net[c])
+        put_bn("net." + b, net[b])
+    put_lin("net.fcout", net["fcout"])
+    for k in ("fc1", "fc2", "fc3", "fc8", "fc_query", "fc_value"):
+        put_lin("projection." + k, params["projection"][k], conv_dims=2)
+
+    conv = convert_torch_state_dict(sd)
+    fa = jax.tree_util.tree_flatten_with_path(params)[0]
+    fb = jax.tree_util.tree_flatten_with_path(conv)[0]
+    assert len(fa) == len(fb)
+    for (ka, va), (kb, vb) in zip(fa, fb):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   err_msg=str(ka))
+
+
+def test_training_step_reduces_loss():
+    rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(jnp.asarray, init_params(2))
+
+    def it():
+        while True:
+            yield ptrain.synthetic_occupancy_batch(rng, batch=2,
+                                                   n_points=256,
+                                                   n_queries=128)
+
+    params, hist = ptrain.fit(params, it(), epochs=2, steps_per_epoch=5,
+                              lr=1e-4)
+    # smoke-level: finite, not exploding, classifier not degenerate
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < max(2.0, hist[0]["loss"] * 2.0)
+    assert hist[-1]["acc"] >= 0.3
+
+
+def test_confusion_metrics():
+    logits = np.zeros((1, 4, 2))
+    logits[0, :, 1] = [10, 10, -10, -10]
+    labels = np.array([[1, 0, 0, 1]])
+    m = ptrain.confusion_metrics(logits, labels)
+    assert abs(m["OA"] - 0.5) < 1e-6
