@@ -141,8 +141,8 @@ def rasterize_tiled(
     """
     assert res % tile == 0
     nt = res // tile                       # tiles per side
-    K = max_faces_per_tile
     F = faces.shape[0]
+    K = min(max_faces_per_tile, F)
 
     px = (verts_ndc * 0.5 + 0.5) * res
     tri_xy = px[faces]                     # [F,3,2] (x=col, y=row)
@@ -163,7 +163,7 @@ def rasterize_tiled(
     # keeps ascending face order among hits)
     score = jnp.where(overlap, -jax.lax.broadcasted_iota(
         jnp.int32, overlap.shape, 2), jnp.iinfo(jnp.int32).min)
-    topv, topi = jax.lax.top_k(score.reshape(nt * nt, F), min(K, F))
+    topv, topi = jax.lax.top_k(score.reshape(nt * nt, F), K)
     cand_valid = topv > jnp.iinfo(jnp.int32).min    # [T,K]
     cand = jnp.where(cand_valid, topi, 0)            # [T,K]
 
@@ -177,41 +177,71 @@ def rasterize_tiled(
     ly = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0) + 0.5
     lx = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1) + 0.5
 
-    def per_tile(ctri, cz, cid, r0, c0):
-        rows = ly + r0
-        cols = lx + c0
-        ax, ay = ctri[:, 0, 0], ctri[:, 0, 1]
-        bx, by = ctri[:, 1, 0], ctri[:, 1, 1]
-        cx, cy = ctri[:, 2, 0], ctri[:, 2, 1]
+    # scan over candidate chunks (bounds HBM temps to [T, CC, tile, tile])
+    CC = min(64, K)
+    n_cc = -(-K // CC)
+    pad_k = n_cc * CC - K
+    if pad_k:
+        ctri = jnp.concatenate(
+            [ctri, jnp.full((ctri.shape[0], pad_k, 3, 2), -1e6)], axis=1)
+        cz = jnp.concatenate(
+            [cz, jnp.full((cz.shape[0], pad_k, 3), jnp.inf)], axis=1)
+        cid = jnp.concatenate(
+            [cid, jnp.full((cid.shape[0], pad_k), -1, cid.dtype)], axis=1)
+    T = ctri.shape[0]
+    ctri_c = ctri.reshape(T, n_cc, CC, 3, 2).swapaxes(0, 1)   # [n_cc,T,CC,3,2]
+    cz_c = cz.reshape(T, n_cc, CC, 3).swapaxes(0, 1)
+    cid_c = cid.reshape(T, n_cc, CC).swapaxes(0, 1)
+
+    rows_t = ly[None] + trow[:, None, None].astype(jnp.float32)  # [T,t,t]
+    cols_t = lx[None] + tcol[:, None, None].astype(jnp.float32)
+
+    init = (
+        jnp.full((T, tile, tile), jnp.inf, jnp.float32),
+        jnp.full((T, tile, tile), -1, jnp.int32),
+        jnp.zeros((T, tile, tile, 3), jnp.float32),
+    )
+
+    def body(state, inp):
+        zbuf, fid, bary = state
+        txy, tz, tcid = inp                       # [T,CC,3,2],[T,CC,3],[T,CC]
+        ax, ay = txy[..., 0, 0], txy[..., 0, 1]   # [T,CC]
+        bx, by = txy[..., 1, 0], txy[..., 1, 1]
+        cx, cy = txy[..., 2, 0], txy[..., 2, 1]
         area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
         inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        r = rows_t[:, None]                       # [T,1,t,t]
+        c = cols_t[:, None]
 
         def edge(x0, y0, x1, y1):
-            return ((x1 - x0)[:, None, None] * (rows[None] - y0[:, None, None])
-                    - (y1 - y0)[:, None, None] * (cols[None] - x0[:, None, None]))
+            return ((x1 - x0)[..., None, None] * (r - y0[..., None, None])
+                    - (y1 - y0)[..., None, None] * (c - x0[..., None, None]))
 
-        l0 = edge(bx, by, cx, cy) * inv_area[:, None, None]
-        l1 = edge(cx, cy, ax, ay) * inv_area[:, None, None]
-        l2 = edge(ax, ay, bx, by) * inv_area[:, None, None]
+        l0 = edge(bx, by, cx, cy) * inv_area[..., None, None]
+        l1 = edge(cx, cy, ax, ay) * inv_area[..., None, None]
+        l2 = edge(ax, ay, bx, by) * inv_area[..., None, None]
         inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-                  & (jnp.abs(area) > 1e-12)[:, None, None]
-                  & (cid >= 0)[:, None, None])
-        z = (l0 * cz[:, 0, None, None] + l1 * cz[:, 1, None, None]
-             + l2 * cz[:, 2, None, None])
-        z = jnp.where(inside & (z > 0.0), z, jnp.inf)    # [K,t,t]
-        best = jnp.argmin(z, axis=0)
-        bz = jnp.take_along_axis(z, best[None], 0)[0]
-        fid = jnp.where(jnp.isfinite(bz), cid[best], -1)
+                  & (jnp.abs(area) > 1e-12)[..., None, None]
+                  & (tcid >= 0)[..., None, None])
+        z = (l0 * tz[..., 0, None, None] + l1 * tz[..., 1, None, None]
+             + l2 * tz[..., 2, None, None])
+        z = jnp.where(inside & (z > 0.0), z, jnp.inf)     # [T,CC,t,t]
+        best = jnp.argmin(z, axis=1)                       # [T,t,t]
+        bz = jnp.take_along_axis(z, best[:, None], 1)[:, 0]
+        take = bz < zbuf
+        bid = jnp.take_along_axis(tcid, best.reshape(T, -1), 1).reshape(
+            T, tile, tile)
+        fid = jnp.where(take, bid, fid)
+        zbuf = jnp.where(take, bz, zbuf)
 
         def pick(l):
-            return jnp.take_along_axis(l, best[None], 0)[0]
+            return jnp.take_along_axis(l, best[:, None], 1)[:, 0]
 
-        bary = jnp.stack([pick(l0), pick(l1), pick(l2)], axis=-1)
-        bary = jnp.where(jnp.isfinite(bz)[..., None], bary, 0.0)
-        return fid, bz, bary
+        bary = jnp.where(take[..., None],
+                         jnp.stack([pick(l0), pick(l1), pick(l2)], -1), bary)
+        return (zbuf, fid, bary), None
 
-    fid_t, z_t, bary_t = jax.vmap(per_tile)(
-        ctri, cz, cid, trow.astype(jnp.float32), tcol.astype(jnp.float32))
+    (z_t, fid_t, bary_t), _ = jax.lax.scan(body, init, (ctri_c, cz_c, cid_c))
 
     def untile(a):
         extra = a.shape[3:]

@@ -98,7 +98,10 @@ def hidden_point_removal_visibility(
         flipped = p + 2.0 * (radius - norms)[:, None] * (p / np.maximum(
             norms[:, None], 1e-12))
         allpts = np.concatenate([flipped, np.zeros((1, 3))], axis=0)
-        hull = ConvexHull(allpts, qhull_options="QJ")
+        try:
+            hull = ConvexHull(allpts)
+        except Exception:  # degenerate inputs: joggle (slower but robust)
+            hull = ConvexHull(allpts, qhull_options="QJ")
         idx = hull.vertices
         idx = idx[idx < n]
         vis[i, idx] = True
