@@ -70,4 +70,5 @@ def test_render_textured_views():
     assert imgs.shape == (4, 64, 64, 3)
     # center pixel shows the cube (red), corners show background (white)
     assert (imgs[:, 32, 32] == [1, 0, 0]).all()
-    assert (imgs[:, 1, 1] == 1.0).all()
+    # every view has some white background (pole views fill the corners)
+    assert ((imgs == 1.0).all(-1).reshape(4, -1).mean(1) > 0.05).all()
