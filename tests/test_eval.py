@@ -63,7 +63,7 @@ def test_render_textured_views():
     uvs = np.full((8, 2), 0.5, np.float32)
     fuv = f.copy()
     atlas = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (16, 16, 3))
-    rig = make_camera_rig(4, res=64)
+    rig = make_camera_rig(4, distance=3.0, res=64)
     imgs = np.asarray(render_textured_views(
         rig, jnp.asarray(v), jnp.asarray(f), jnp.asarray(uvs),
         jnp.asarray(fuv), atlas, 64))
