@@ -1,0 +1,263 @@
+// Quadric error metric (Garland–Heckbert) edge-collapse simplification.
+//
+// Native replacement for the reference's decimation paths:
+//   open3d simplify_quadric_decimation (models/POCO/generate.py:283)
+//   vendored libsimplify (models/POCO/eval/src/utils/libsimplify)
+// Edge-collapse with a lazy min-heap, midpoint/optimal vertex placement,
+// and a link-condition-lite flip guard.  Exposed via a C ABI consumed by
+// ctypes (pointdreamer_tpu/native/qem.py).
+//
+// Build: g++ -O3 -fPIC -shared qem.cpp -o libqem.so
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <queue>
+#include <vector>
+#include <unordered_set>
+
+namespace {
+
+struct Quadric {
+  double m[10];  // symmetric 4x4: a2 ab ac ad b2 bc bd c2 cd d2
+  Quadric() { std::memset(m, 0, sizeof(m)); }
+  void add_plane(double a, double b, double c, double d) {
+    m[0] += a * a; m[1] += a * b; m[2] += a * c; m[3] += a * d;
+    m[4] += b * b; m[5] += b * c; m[6] += b * d;
+    m[7] += c * c; m[8] += c * d; m[9] += d * d;
+  }
+  void add(const Quadric& o) { for (int i = 0; i < 10; ++i) m[i] += o.m[i]; }
+  double eval(double x, double y, double z) const {
+    return m[0]*x*x + 2*m[1]*x*y + 2*m[2]*x*z + 2*m[3]*x
+         + m[4]*y*y + 2*m[5]*y*z + 2*m[6]*y
+         + m[7]*z*z + 2*m[8]*z + m[9];
+  }
+  // solve for minimizing point; returns false if near-singular
+  bool optimal(double* out) const {
+    double A[9] = {m[0], m[1], m[2], m[1], m[4], m[5], m[2], m[5], m[7]};
+    double b[3] = {-m[3], -m[6], -m[8]};
+    double det = A[0]*(A[4]*A[8]-A[5]*A[7]) - A[1]*(A[3]*A[8]-A[5]*A[6])
+               + A[2]*(A[3]*A[7]-A[4]*A[6]);
+    if (std::fabs(det) < 1e-12) return false;
+    double inv = 1.0 / det;
+    out[0] = inv*( b[0]*(A[4]*A[8]-A[5]*A[7]) - A[1]*(b[1]*A[8]-A[5]*b[2])
+                 + A[2]*(b[1]*A[7]-A[4]*b[2]));
+    out[1] = inv*( A[0]*(b[1]*A[8]-A[5]*b[2]) - b[0]*(A[3]*A[8]-A[5]*A[6])
+                 + A[2]*(A[3]*b[2]-b[1]*A[6]));
+    out[2] = inv*( A[0]*(A[4]*b[2]-b[1]*A[7]) - A[1]*(A[3]*b[2]-b[1]*A[6])
+                 + b[0]*(A[3]*A[7]-A[4]*A[6]));
+    return true;
+  }
+};
+
+struct HeapItem {
+  double cost;
+  int v0, v1;
+  uint64_t stamp;  // validity: sum of vertex versions at push time
+  bool operator<(const HeapItem& o) const { return cost > o.cost; }
+};
+
+struct Mesh {
+  std::vector<double> V;            // 3*nv
+  std::vector<int64_t> F;           // 3*nf
+  std::vector<Quadric> Q;
+  std::vector<uint32_t> version;
+  std::vector<int> remap;           // union-find for collapsed verts
+  std::vector<std::vector<int>> vfaces;  // incident face ids
+  std::vector<char> fdead;
+
+  int find(int v) {
+    while (remap[v] != v) { remap[v] = remap[remap[v]]; v = remap[v]; }
+    return v;
+  }
+};
+
+void face_plane(const Mesh& M, int f, double* abcd) {
+  const int64_t* t = &M.F[3 * f];
+  const double* p0 = &M.V[3 * t[0]];
+  const double* p1 = &M.V[3 * t[1]];
+  const double* p2 = &M.V[3 * t[2]];
+  double u[3] = {p1[0]-p0[0], p1[1]-p0[1], p1[2]-p0[2]};
+  double w[3] = {p2[0]-p0[0], p2[1]-p0[1], p2[2]-p0[2]};
+  double n[3] = {u[1]*w[2]-u[2]*w[1], u[2]*w[0]-u[0]*w[2],
+                 u[0]*w[1]-u[1]*w[0]};
+  double len = std::sqrt(n[0]*n[0]+n[1]*n[1]+n[2]*n[2]);
+  if (len < 1e-14) { abcd[0]=abcd[1]=abcd[2]=abcd[3]=0; return; }
+  abcd[0]=n[0]/len; abcd[1]=n[1]/len; abcd[2]=n[2]/len;
+  abcd[3] = -(abcd[0]*p0[0] + abcd[1]*p0[1] + abcd[2]*p0[2]);
+}
+
+bool collapse_would_flip(Mesh& M, int v_keep, int v_gone,
+                         const double* newpos) {
+  // check faces incident to either vertex that survive the collapse
+  for (int vv : {v_keep, v_gone}) {
+    for (int f : M.vfaces[vv]) {
+      if (M.fdead[f]) continue;
+      int64_t a = M.find(M.F[3*f]), b = M.find(M.F[3*f+1]),
+              c = M.find(M.F[3*f+2]);
+      bool has_keep = (a==v_keep||b==v_keep||c==v_keep);
+      bool has_gone = (a==v_gone||b==v_gone||c==v_gone);
+      if (has_keep && has_gone) continue;  // face dies, skip
+      // normal before
+      double pl0[4]; face_plane(M, f, pl0);
+      // simulate: move the collapsed vertex to newpos
+      double p[3][3];
+      int64_t ids[3] = {a, b, c};
+      for (int i = 0; i < 3; ++i) {
+        int vi = (int)ids[i];
+        if (vi == v_keep || vi == v_gone) {
+          p[i][0]=newpos[0]; p[i][1]=newpos[1]; p[i][2]=newpos[2];
+        } else {
+          p[i][0]=M.V[3*vi]; p[i][1]=M.V[3*vi+1]; p[i][2]=M.V[3*vi+2];
+        }
+      }
+      double u[3]={p[1][0]-p[0][0],p[1][1]-p[0][1],p[1][2]-p[0][2]};
+      double w[3]={p[2][0]-p[0][0],p[2][1]-p[0][1],p[2][2]-p[0][2]};
+      double n[3]={u[1]*w[2]-u[2]*w[1],u[2]*w[0]-u[0]*w[2],
+                   u[0]*w[1]-u[1]*w[0]};
+      double dot = n[0]*pl0[0]+n[1]*pl0[1]+n[2]*pl0[2];
+      if (dot < 0) return true;  // normal flip
+    }
+  }
+  return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller passes pre-allocated output buffers of the
+// input size; out_nv/out_nf receive actual counts.
+int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
+                 int target_faces, float* out_v, int* out_nv,
+                 int64_t* out_f, int* out_nf) {
+  Mesh M;
+  M.V.resize(3 * (size_t)nv);
+  for (int i = 0; i < 3 * nv; ++i) M.V[i] = verts[i];
+  M.F.assign(faces, faces + 3 * (size_t)nf);
+  M.Q.assign(nv, Quadric());
+  M.version.assign(nv, 0);
+  M.remap.resize(nv);
+  for (int i = 0; i < nv; ++i) M.remap[i] = i;
+  M.vfaces.assign(nv, {});
+  M.fdead.assign(nf, 0);
+
+  for (int f = 0; f < nf; ++f) {
+    double pl[4]; face_plane(M, f, pl);
+    for (int j = 0; j < 3; ++j) {
+      int v = (int)M.F[3*f+j];
+      if (v < 0 || v >= nv) return 1;
+      M.Q[v].add_plane(pl[0], pl[1], pl[2], pl[3]);
+      M.vfaces[v].push_back(f);
+    }
+  }
+
+  // candidate edges
+  std::priority_queue<HeapItem> heap;
+  auto push_edge = [&](int a, int b) {
+    a = M.find(a); b = M.find(b);
+    if (a == b) return;
+    if (a > b) std::swap(a, b);
+    Quadric q = M.Q[a]; q.add(M.Q[b]);
+    double pos[3];
+    if (!q.optimal(pos)) {
+      pos[0]=(M.V[3*a]+M.V[3*b])*0.5; pos[1]=(M.V[3*a+1]+M.V[3*b+1])*0.5;
+      pos[2]=(M.V[3*a+2]+M.V[3*b+2])*0.5;
+    }
+    double cost = q.eval(pos[0], pos[1], pos[2]);
+    heap.push({cost, a, b,
+               (uint64_t)M.version[a] + (uint64_t)M.version[b]});
+  };
+  {
+    std::unordered_set<uint64_t> seen;
+    for (int f = 0; f < nf; ++f) {
+      for (int j = 0; j < 3; ++j) {
+        int a = (int)M.F[3*f+j], b = (int)M.F[3*f+(j+1)%3];
+        if (a > b) std::swap(a, b);
+        uint64_t key = ((uint64_t)a << 32) | (uint32_t)b;
+        if (seen.insert(key).second) push_edge(a, b);
+      }
+    }
+  }
+
+  int alive_faces = nf;
+  while (alive_faces > target_faces && !heap.empty()) {
+    HeapItem it = heap.top(); heap.pop();
+    int a = M.find(it.v0), b = M.find(it.v1);
+    if (a == b) continue;
+    if ((uint64_t)M.version[a] + (uint64_t)M.version[b] != it.stamp ||
+        a != it.v0 || b != it.v1) continue;  // stale
+
+    Quadric q = M.Q[a]; q.add(M.Q[b]);
+    double pos[3];
+    if (!q.optimal(pos)) {
+      pos[0]=(M.V[3*a]+M.V[3*b])*0.5; pos[1]=(M.V[3*a+1]+M.V[3*b+1])*0.5;
+      pos[2]=(M.V[3*a+2]+M.V[3*b+2])*0.5;
+    }
+    if (collapse_would_flip(M, a, b, pos)) continue;
+
+    // collapse b -> a
+    M.remap[b] = a;
+    M.V[3*a]=pos[0]; M.V[3*a+1]=pos[1]; M.V[3*a+2]=pos[2];
+    M.Q[a] = q;
+    M.version[a]++; M.version[b]++;
+
+    // merge face lists, kill degenerate faces
+    std::vector<int> merged;
+    merged.reserve(M.vfaces[a].size() + M.vfaces[b].size());
+    std::unordered_set<int> dedup;
+    for (int vv : {a, b}) {
+      for (int f : M.vfaces[vv]) {
+        if (M.fdead[f] || !dedup.insert(f).second) continue;
+        int64_t x = M.find(M.F[3*f]), y = M.find(M.F[3*f+1]),
+                z = M.find(M.F[3*f+2]);
+        if (x == y || y == z || x == z) {
+          M.fdead[f] = 1; --alive_faces;
+        } else {
+          merged.push_back(f);
+        }
+      }
+    }
+    M.vfaces[a] = std::move(merged);
+    M.vfaces[b].clear();
+
+    // re-push incident edges
+    std::unordered_set<int> nbrs;
+    for (int f : M.vfaces[a]) {
+      for (int j = 0; j < 3; ++j) {
+        int v = M.find((int)M.F[3*f+j]);
+        if (v != a) nbrs.insert(v);
+      }
+    }
+    for (int v : nbrs) push_edge(a, v);
+  }
+
+  // compact output
+  std::vector<int> new_id(nv, -1);
+  int nvo = 0, nfo = 0;
+  for (int f = 0; f < nf; ++f) {
+    if (M.fdead[f]) continue;
+    int64_t t[3];
+    bool ok = true;
+    for (int j = 0; j < 3; ++j) {
+      t[j] = M.find((int)M.F[3*f+j]);
+    }
+    if (t[0]==t[1]||t[1]==t[2]||t[0]==t[2]) ok = false;
+    if (!ok) continue;
+    for (int j = 0; j < 3; ++j) {
+      int v = (int)t[j];
+      if (new_id[v] < 0) {
+        new_id[v] = nvo;
+        out_v[3*nvo]=(float)M.V[3*v]; out_v[3*nvo+1]=(float)M.V[3*v+1];
+        out_v[3*nvo+2]=(float)M.V[3*v+2];
+        ++nvo;
+      }
+      out_f[3*nfo+j] = new_id[v];
+    }
+    ++nfo;
+  }
+  *out_nv = nvo;
+  *out_nf = nfo;
+  return 0;
+}
+
+}  // extern "C"

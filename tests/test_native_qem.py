@@ -1,0 +1,58 @@
+"""C++ QEM decimation tests (builds libqem.so with g++)."""
+import numpy as np
+import pytest
+
+from pointdreamer_tpu.native import qem
+
+
+def _sphere_mesh(n_sub=3):
+    # icosphere via repeated subdivision of an octahedron
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0, 0, -1]], np.float64)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int64)
+    for _ in range(n_sub):
+        edge_mid = {}
+        nv = list(map(tuple, v))
+        nf = []
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = (np.asarray(nv[a]) + np.asarray(nv[b])) / 2
+                m = m / np.linalg.norm(m)
+                edge_mid[key] = len(nv)
+                nv.append(tuple(m))
+            return edge_mid[key]
+
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.asarray(nv)
+        f = np.asarray(nf, np.int64)
+    return v.astype(np.float32), f
+
+
+def test_qem_builds_and_simplifies():
+    v, f = _sphere_mesh(3)     # 512 faces
+    assert len(f) == 512
+    v2, f2 = qem.simplify(v, f, 120)
+    assert len(f2) <= 140
+    assert len(f2) >= 60
+    # still a sphere: radii near 1
+    r = np.linalg.norm(v2, axis=1)
+    assert 0.85 < r.min() and r.max() < 1.05
+    # valid topology: indices in range, no degenerate faces
+    assert f2.min() >= 0 and f2.max() < len(v2)
+    assert (f2[:, 0] != f2[:, 1]).all()
+    # closed surface preserved: every edge shared by exactly 2 faces
+    e = np.sort(np.concatenate([f2[:, [0, 1]], f2[:, [1, 2]],
+                                f2[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    assert (counts == 2).mean() > 0.95
+
+
+def test_qem_noop_below_target():
+    v, f = _sphere_mesh(1)
+    v2, f2 = qem.simplify(v, f, 1000)
+    np.testing.assert_array_equal(f, f2)
