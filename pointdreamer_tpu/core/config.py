@@ -81,6 +81,12 @@ class PipelineConfig:
     # ---- atlas optimization (reference ours_utils.py:1583-1785) ----------
     optimize_iters: int = 100
     optimize_lr: float = 5e-2
+    optimize_render_res: int = 256  # reference renders at 1024
+                                    # (ours_utils.py:1607) but compares to
+                                    # bilinearly UPSAMPLED 256-res inpainted
+                                    # targets — rendering at the native
+                                    # target res adds no information and is
+                                    # 16x cheaper
 
     # ---- misc ------------------------------------------------------------
     seed: int = 42  # reference demo.py:34 kiui.seed_everything(42)

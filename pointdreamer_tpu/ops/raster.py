@@ -278,6 +278,7 @@ def interpolate(
     return (tri_attr * bary[..., None]).sum(axis=-2)
 
 
+@functools.partial(jax.jit, static_argnames=("unit",))
 def face_normals(vertices: jnp.ndarray, faces: jnp.ndarray,
                  unit: bool = True) -> jnp.ndarray:
     """Per-face normals (kaolin.ops.mesh.face_normals equivalent,

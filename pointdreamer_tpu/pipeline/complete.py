@@ -23,11 +23,26 @@ from ..ops import image as oimg
 from ..ops import subdivide as osub
 
 
+@jax.jit
 def dilate_atlas(atlas_img: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Nearest-fill every texel outside `mask` (covered set) — fills chart
     gutters so bilinear texture lookups never bleed background
     (reference dilate_atlas, unproject.py:480-504)."""
     return oimg.nearest_fill(atlas_img, mask)
+
+
+@jax.jit
+def _gather_vertex_colors(atlas_img, atlas_painted, rows, cols):
+    return atlas_img[rows, cols], atlas_painted[rows, cols]
+
+
+@jax.jit
+def _write_back_and_fill(atlas_img, atlas_painted, rows, cols,
+                         colors, prev_colors, was_painted):
+    atlas2 = atlas_img.at[rows, cols].set(
+        jnp.where(was_painted[:, None], prev_colors, colors))
+    painted2 = atlas_painted.at[rows, cols].set(True)
+    return oimg.nearest_fill(atlas2, painted2)
 
 
 @functools.partial(jax.jit, static_argnames=("max_rounds",))
@@ -110,11 +125,11 @@ def complete_by_neighbors(
     vert_uv[flat_v[::-1]] = uv[flat_uv[::-1]]
 
     pix = np.clip((vert_uv * R).astype(np.int64), 0, R - 1)
-    rows, cols = pix[:, 1], pix[:, 0]
+    rows = jnp.asarray(pix[:, 1])
+    cols = jnp.asarray(pix[:, 0])
 
-    atlas_np = atlas_img
-    vert_colors = atlas_np[rows, cols]                     # [Nv,3] device
-    vert_has = jnp.asarray(np.asarray(atlas_painted)[rows, cols])
+    vert_colors, vert_has = _gather_vertex_colors(
+        atlas_img, atlas_painted, rows, cols)
 
     edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], 0)
     edges = np.concatenate([edges, edges[:, ::-1]], 0)
@@ -125,12 +140,8 @@ def complete_by_neighbors(
         vert_colors, vert_has.astype(jnp.float32), src, dst,
         invalid_idx_mask=~vert_has)
 
-    # write diffused colors back into the atlas at vertex texels
-    valid_write = jnp.asarray(~np.asarray(atlas_painted)[rows, cols])
-    atlas2 = atlas_np.at[jnp.asarray(rows), jnp.asarray(cols)].set(
-        jnp.where(valid_write[:, None], colors, vert_colors))
-    painted2 = atlas_painted.at[jnp.asarray(rows), jnp.asarray(cols)].set(True)
-
-    # final nearest-fill over the whole atlas = unseen texels between
-    # vertices + gutters (reference naive_inpainting nearest at :190-193)
-    return oimg.nearest_fill(atlas2, painted2)
+    # write diffused colors back at vertex texels, then nearest-fill the
+    # whole atlas = unseen texels between vertices + gutters (reference
+    # naive_inpainting nearest at :190-193)
+    return _write_back_and_fill(atlas_img, atlas_painted, rows, cols,
+                                colors, vert_colors, vert_has)

@@ -41,6 +41,9 @@ class Pipeline:
 
     @classmethod
     def create(cls, cfg: PipelineConfig, log_file: Optional[str] = None):
+        from ..core.runtime import setup_jax
+
+        setup_jax()
         logger = get_logger(log_file)
         rig = make_camera_rig(cfg.view_num, cfg.cam_distance, cfg.cam_res,
                               cfg.cam_fov_deg, cfg.camera_distribution)
@@ -83,7 +86,7 @@ class Pipeline:
                                     os.path.join(out_root, "input_pc.ply"))
 
         # ---- geometry (cached) ----------------------------------------
-        with timer.stage("geometry"):
+        with timer.stage("geometry") as tbox:
             cached_geo = pc_file.replace(".ply", "_untextured_mesh.obj")
             own_geo = os.path.join(geo_dir, "untextured.obj")
             if os.path.exists(cached_geo):
@@ -100,12 +103,13 @@ class Pipeline:
                     self.poco_apply)
                 pio.save_obj(verts, faces, own_geo)
 
+        tbox["out"] = None
         verts_j = jnp.asarray(verts)
         faces_j = jnp.asarray(faces)
         f_normals = orast.face_normals(verts_j, faces_j)
 
         # ---- unwrap + atlas bake (cached) -----------------------------
-        with timer.stage("unwrap"):
+        with timer.stage("unwrap") as tbox:
             R = cfg.xatlas_texture_res
             unwrap_cache = os.path.join(geo_dir, f"unwrap_{R}.npz")
             if os.path.exists(unwrap_cache):
@@ -115,9 +119,10 @@ class Pipeline:
                 uvs, face_uv_idx = punwrap.unwrap(verts, faces, atlas_res=R)
                 np.savez(unwrap_cache, uvs=uvs, face_uv_idx=face_uv_idx)
             atlas = punwrap.bake_atlas(verts_j, faces_j, uvs, face_uv_idx, R)
+            tbox["out"] = atlas["gb_pos"]
 
         # ---- project + sparse images ----------------------------------
-        with timer.stage("project"):
+        with timer.stage("project") as tbox:
             proj = pproject.project_views(
                 self.rig, verts_j, faces_j, jnp.asarray(xyz_n),
                 crop=cfg.crop_img, padding=cfg.crop_padding,
@@ -128,12 +133,13 @@ class Pipeline:
             sparse = pproject.make_sparse_images(
                 proj, colors, cfg.res, cfg.point_size, cfg.edge_point_size,
                 cfg.mask_ratio_thresh)
+            tbox["out"] = sparse.sparse_imgs
             for i in range(self.rig.num_views):
                 pio.save_rgb(np.asarray(sparse.sparse_imgs[i]),
                              os.path.join(others_dir, f"{i}_sparse.png"))
 
         # ---- inpaint (cached) -----------------------------------------
-        with timer.stage("inpaint"):
+        with timer.stage("inpaint") as tbox:
             cached = [os.path.join(others_dir, f"{i}_inpainted.png")
                       for i in range(self.rig.num_views)]
             if all(os.path.exists(p) for p in cached):
@@ -145,9 +151,10 @@ class Pipeline:
                     cfg.texture_gen_method, self.inpainter)
                 for i, p in enumerate(cached):
                     pio.save_rgb(np.asarray(inpainted[i]), p)
+            tbox["out"] = inpainted
 
         # ---- unproject (NBF) ------------------------------------------
-        with timer.stage("unproject"):
+        with timer.stage("unproject") as tbox:
             up = punproject.unproject(
                 inpainted, self.rig, f_normals,
                 atlas["gb_pos"], atlas["mask"],
@@ -163,9 +170,10 @@ class Pipeline:
                     for k in cfg.edge_dilate_kernels),
                 view_res=cfg.res, depth_offset=cfg.depth_offset,
                 complete_by_projection=(cfg.complete_unseen_by == "unproject"))
+            tbox["out"] = up.atlas_img
 
         # ---- complete unseen ------------------------------------------
-        with timer.stage("complete"):
+        with timer.stage("complete") as tbox:
             if cfg.complete_unseen_by == "neighbor":
                 atlas_img = pcomplete.complete_by_neighbors(
                     verts, faces, uvs, face_uv_idx,
@@ -181,10 +189,11 @@ class Pipeline:
             else:  # 'unproject'
                 atlas_img = pcomplete.dilate_atlas(up.atlas_img,
                                                    up.atlas_painted)
+            tbox["out"] = atlas_img
 
         # ---- optimize -------------------------------------------------
         if cfg.optimize_from and cfg.optimize_from != "None":
-            with timer.stage("optimize"):
+            with timer.stage("optimize") as tbox:
                 init = None if cfg.optimize_from == "scratch" else atlas_img
                 svis = (up.shrunk_visibility
                         if cfg.optimize_from == "ours" else None)
@@ -193,8 +202,9 @@ class Pipeline:
                     jnp.asarray(uvs), jnp.asarray(face_uv_idx),
                     proj.uv_centers, proj.uv_scales, proj.padding,
                     sparse.scale_factors, svis,
-                    render_res=min(cfg.xatlas_texture_res, 1024),
+                    render_res=cfg.optimize_render_res,
                     lr=cfg.optimize_lr, iterations=cfg.optimize_iters)
+                tbox["out"] = atlas_img
 
         # ---- export ---------------------------------------------------
         with timer.stage("export"):
