@@ -12,6 +12,11 @@ import os
 def setup_jax(cache_dir: str | None = None) -> None:
     import jax
 
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        # the axon remote-compile tunnel hangs when the persistent cache
+        # tries to serialize its AOT executables — rely on in-process
+        # caching there (bench warms up in-process before timing)
+        return
     cache_dir = cache_dir or os.environ.get(
         "PD_JAX_CACHE", os.path.expanduser("~/.cache/pointdreamer_jax"))
     os.makedirs(cache_dir, exist_ok=True)

@@ -150,7 +150,8 @@ def reconstruct_mesh(
         # poco_apply: factory points -> field fn (latents encoded once per
         # shape; models/occupancy/network.py make_poco_field)
         field_fn = poco_apply(jnp.asarray(pts))
-        field = osdf.eval_sdf_on_grid(field_fn, grid_res, GRID_LO, GRID_HI)
+        field = osdf.eval_sdf_on_grid_banded(field_fn, pts, grid_res,
+                                             GRID_LO, GRID_HI)
     elif geo_from in ("SPR", "poisson_fft"):
         normals = osdf.estimate_oriented_normals(pts)
         span = GRID_HI - GRID_LO
@@ -160,8 +161,9 @@ def reconstruct_mesh(
     elif geo_from == "hoppe":
         normals = osdf.estimate_oriented_normals(pts)
         pj, nj = jnp.asarray(pts), jnp.asarray(normals)
-        field = osdf.eval_sdf_on_grid(
-            lambda q: osdf.hoppe_sdf(q, pj, nj), grid_res, GRID_LO, GRID_HI)
+        field = osdf.eval_sdf_on_grid_banded(
+            lambda q: osdf.hoppe_sdf(q, pj, nj), pts, grid_res,
+            GRID_LO, GRID_HI)
     else:
         raise ValueError(f"unknown geo_from={geo_from}")
 
