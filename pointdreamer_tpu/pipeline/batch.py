@@ -1,0 +1,63 @@
+"""Dataset-scale reconstruction driver.
+
+Reference: ours_main / recon_one_shape (pointdreamer/ours_utils.py:1788,
+:1046): iterate a dataset of shapes, per-shape try/except that logs and
+continues (:1905-1921), skip-if-output-exists idempotence (:1076-1085),
+then render 20 views per mesh + texture metrics (render_after_inference,
+:1923-1948).
+
+Multi-host scaling: shapes are embarrassingly parallel — `shard_index /
+shard_count` split the work list across hosts (DCN carries no tensors,
+exactly the layout SURVEY §2.10 prescribes).
+"""
+from __future__ import annotations
+
+import os
+import traceback
+from typing import Dict, List, Optional
+
+from ..core.config import PipelineConfig
+from .pipeline import Pipeline
+
+
+def run_dataset(
+    cfg: PipelineConfig,
+    pc_files: List[str],
+    shard_index: int = 0,
+    shard_count: int = 1,
+    render_views: int = 20,
+    gt_render_dirs: Optional[Dict[str, str]] = None,
+) -> Dict[str, dict]:
+    """Reconstruct every shape; returns {name: {status, obj, metrics?}}."""
+    pipe = Pipeline.create(cfg)
+    log = pipe.logger
+    results: Dict[str, dict] = {}
+    work = sorted(pc_files)[shard_index::shard_count]
+    for pc_file in work:
+        name = os.path.splitext(os.path.basename(pc_file))[0]
+        out_obj = os.path.join(cfg.output_path, name, "models",
+                               "model_normalized.obj")
+        if os.path.exists(out_obj):   # idempotent resume
+            results[name] = {"status": "cached", "obj": out_obj}
+            continue
+        try:
+            obj = pipe.recon_one_textured_mesh(pc_file, name)
+            rec = {"status": "ok", "obj": obj}
+            if cfg.render_after_inference:
+                from ..eval.render import render_mesh_dir
+
+                rdir = os.path.join(cfg.output_path, name, "renders")
+                render_mesh_dir(obj, rdir, num_views=render_views)
+                rec["renders"] = rdir
+                if gt_render_dirs and name in gt_render_dirs:
+                    from ..eval.run_evaluation import evaluate_image_dirs
+
+                    rec["metrics"] = evaluate_image_dirs(
+                        gt_render_dirs[name], rdir)
+            results[name] = rec
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            log.error(f"shape {name} failed:\n{traceback.format_exc()}")
+            results[name] = {"status": "failed"}
+    return results

@@ -114,41 +114,50 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray,
         chart_data.append((fmask, local.reshape(-1, 3), pts2))
         rects.append((max(w, 1e-9), max(h, 1e-9)))
 
-    # shelf packing (sorted by height), world units + gutters
+    # shelf packing (sorted by height), world units + gutters; gutter
+    # shrinks adaptively when many charts must fit a small atlas
     rects = np.array(rects)
-    gutter_frac = gutter_px / float(atlas_res)
     order = np.argsort(-rects[:, 1])
-    # estimate atlas world-scale: total area -> square side
     total_area = (rects[:, 0] * rects[:, 1]).sum()
-    side = max(np.sqrt(total_area) * 1.15, rects.max() + 1e-9)
 
-    # place charts; grow side if overflow
-    for _ in range(32):
-        scale = (1.0 - 2 * gutter_frac) / side
-        placements = np.zeros((n_charts, 2))
-        x = y = shelf_h = 0.0
-        ok = True
-        for c in order:
-            w = rects[c, 0] * scale + 2 * gutter_frac
-            h = rects[c, 1] * scale + 2 * gutter_frac
-            if w > 1.0 or h > 1.0:
-                ok = False
-                break
-            if x + w > 1.0:
-                y += shelf_h
-                x = 0.0
-                shelf_h = 0.0
-            if y + h > 1.0:
-                ok = False
-                break
-            placements[c] = (x + gutter_frac, y + gutter_frac)
-            x += w
-            shelf_h = max(shelf_h, h)
-        if ok:
+    def try_pack(gutter_frac):
+        side = max(np.sqrt(total_area) * 1.15, rects.max() + 1e-9)
+        for _ in range(32):
+            scale = (1.0 - 2 * gutter_frac) / side
+            placements = np.zeros((n_charts, 2))
+            x = y = shelf_h = 0.0
+            ok = True
+            for c in order:
+                w = rects[c, 0] * scale + 2 * gutter_frac
+                h = rects[c, 1] * scale + 2 * gutter_frac
+                if w > 1.0 or h > 1.0:
+                    ok = False
+                    break
+                if x + w > 1.0:
+                    y += shelf_h
+                    x = 0.0
+                    shelf_h = 0.0
+                if y + h > 1.0:
+                    ok = False
+                    break
+                placements[c] = (x + gutter_frac, y + gutter_frac)
+                x += w
+                shelf_h = max(shelf_h, h)
+            if ok:
+                return scale, placements
+            side *= 1.12
+        return None
+
+    packed = None
+    gutter_frac = gutter_px / float(atlas_res)
+    for _ in range(8):
+        packed = try_pack(gutter_frac)
+        if packed is not None:
             break
-        side *= 1.12
-    else:
+        gutter_frac /= 2.0
+    if packed is None:
         raise RuntimeError("chart packing failed to converge")
+    scale, placements = packed
 
     # assemble global uv array
     uv_offset = 0
