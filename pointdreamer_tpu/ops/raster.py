@@ -123,7 +123,9 @@ def rasterize(
     return RasterOut(face_id=fid, zbuf=zbuf, bary=bary)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "tile", "max_faces_per_tile"))
+@functools.partial(jax.jit, static_argnames=("res", "tile",
+                                              "max_faces_per_tile",
+                                              "cull_backface"))
 def rasterize_tiled(
     verts_ndc: jnp.ndarray,
     verts_depth: jnp.ndarray,
@@ -131,6 +133,7 @@ def rasterize_tiled(
     res: int,
     tile: int = 32,
     max_faces_per_tile: int = 512,
+    cull_backface: bool = False,
 ) -> RasterOut:
     """Two-level rasterizer: bin faces to pixel tiles by bounding box, then
     test only each tile's candidate faces — O(tiles * K * tile^2) instead
@@ -147,6 +150,17 @@ def rasterize_tiled(
     px = (verts_ndc * 0.5 + 0.5) * res
     tri_xy = px[faces]                     # [F,3,2] (x=col, y=row)
     tri_z = verts_depth[faces]             # [F,3]
+
+    if cull_backface:
+        # screen-space winding: with row 0 = top (y down) a front-facing
+        # (outward-normal) triangle of a closed mesh has NEGATIVE signed
+        # area; cull the rest by voiding their bboxes.  Safe only for
+        # closed meshes (the geometry stage always produces them).
+        e1 = tri_xy[:, 1] - tri_xy[:, 0]
+        e2 = tri_xy[:, 2] - tri_xy[:, 0]
+        signed = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        front = (signed < 0.0)[:, None, None]
+        tri_xy = jnp.where(front, tri_xy, -1e6)
 
     # face bbox in tile units
     fmin = jnp.floor(tri_xy.min(axis=1) / tile).astype(jnp.int32)
@@ -254,12 +268,18 @@ def rasterize_tiled(
 
 
 def rasterize_views(verts_ndc, verts_depth, faces, res, chunk=64,
-                    tiled=True, max_faces_per_tile=512):
+                    tiled=True, max_faces_per_tile=512,
+                    cull_backface=False):
     """verts_ndc [V,N,2], verts_depth [V,N] -> stacked RasterOut over views."""
     faces = faces.astype(jnp.int32)
-    if tiled and res % 32 == 0:
+    n_tiles = (res // 32) ** 2
+    # overflow guard: when the per-tile candidate budget cannot possibly
+    # hold the mesh (tiny renders of dense meshes), brute force is safe
+    dense_enough = faces.shape[0] * 4 <= max_faces_per_tile * n_tiles
+    if tiled and res % 32 == 0 and dense_enough:
         return jax.vmap(lambda nd, d: rasterize_tiled(
-            nd, d, faces, res, 32, max_faces_per_tile))(verts_ndc, verts_depth)
+            nd, d, faces, res, 32, max_faces_per_tile,
+            cull_backface))(verts_ndc, verts_depth)
     return jax.vmap(lambda nd, d: rasterize(nd, d, faces, res, chunk))(
         verts_ndc, verts_depth)
 

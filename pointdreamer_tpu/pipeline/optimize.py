@@ -45,7 +45,8 @@ def precompute_view_uv_maps(
     ndc2 = jnp.clip(base * inpaint_scale_factors[:, None, None] * k + 0.5,
                     0.0, 1.0) * 2.0 - 1.0
     rast = orast.rasterize_views(ndc2, depth, faces.astype(jnp.int32),
-                                 render_res, raster_chunk)
+                                 render_res, raster_chunk,
+                                 max_faces_per_tile=256, cull_backface=True)
     uv_map = jax.vmap(
         lambda fid, bary: orast.interpolate(
             uvs, face_uv_idx.astype(jnp.int32), fid, bary)

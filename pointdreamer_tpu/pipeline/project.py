@@ -76,7 +76,8 @@ def project_views(
         point_uvs = point_ndc * 0.5 + 0.5
 
     rast = orast.rasterize_views(vert_ndc, vert_depth, faces.astype(jnp.int32),
-                                 cam_res, raster_chunk)
+                                 cam_res, raster_chunk,
+                                 max_faces_per_tile=256, cull_backface=True)
     vis = osplat.point_visibility_by_depth(
         point_uvs * 2.0 - 1.0, point_depth, rast.zbuf, offset=depth_offset)
 

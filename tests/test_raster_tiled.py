@@ -50,3 +50,30 @@ def test_tile_candidate_overflow_headroom():
     for (x0, y0), (x1, y1) in zip(fmin, fmax):
         counts[max(y0, 0):y1 + 1, max(x0, 0):x1 + 1] += 1
     assert counts.max() < 512, counts.max()
+
+
+def test_backface_culling_preserves_closed_mesh_render():
+    import jax.numpy as jnp
+    from pointdreamer_tpu.ops import iso as oiso
+    from pointdreamer_tpu.core.camera import make_camera_rig
+
+    res = 25
+    axis = np.linspace(-0.6, 0.6, res, dtype=np.float32)
+    g = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1)
+    sdf = np.linalg.norm(g, axis=-1) - 0.4
+    verts, faces = oiso.marching_tets(sdf.astype(np.float32), axis,
+                                      bucket=2048)
+    rig = make_camera_rig(2, distance=1.6, res=64)
+    ndc, depth = rig.transform(jnp.asarray(verts))
+    a = orast.rasterize_tiled(ndc[0], depth[0],
+                              jnp.asarray(faces, jnp.int32), 64,
+                              max_faces_per_tile=8192,
+                              cull_backface=False)
+    b = orast.rasterize_tiled(ndc[0], depth[0],
+                              jnp.asarray(faces, jnp.int32), 64,
+                              max_faces_per_tile=8192,
+                              cull_backface=True)
+    fa, fb = np.asarray(a.face_id), np.asarray(b.face_id)
+    # near-identical coverage (grazing edge-on faces may differ) and winners
+    assert ((fa >= 0) != (fb >= 0)).mean() < 0.005
+    assert (fa != fb).mean() < 0.01
