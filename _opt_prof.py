@@ -2,7 +2,7 @@ import time, numpy as np, jax, jax.numpy as jnp
 from pointdreamer_tpu.ops.image import bilinear_sample
 import optax
 
-R=1024; res=512; V=8
+R=1024; res=256; V=8
 key=jax.random.PRNGKey(0)
 atlas=jax.random.uniform(key,(R,R,3))
 uv=jax.random.uniform(key,(V,res,res,2))

@@ -52,24 +52,83 @@ def precompute_view_uv_maps(
             uvs, face_uv_idx.astype(jnp.int32), fid, bary)
     )(rast.face_id, rast.bary)
     fg = rast.face_id >= 0
+    # background pixels otherwise all point at face 0's uv — their
+    # zero-gradient scatter-adds then serialize on a single texel; spread
+    # them uniformly over the atlas instead
+    rr = jax.lax.broadcasted_iota(jnp.float32, fg.shape[-2:], 0)
+    cc = jax.lax.broadcasted_iota(jnp.float32, fg.shape[-2:], 1)
+    uniform = jnp.stack([cc, rr], axis=-1) / float(render_res)
+    uv_map = jnp.where(fg[..., None], uv_map, uniform[None])
     return uv_map, fg
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int):
+def _bilinear_tables(uv_map, R: int):
+    """Precompute the fixed bilinear sampling structure: corner texel ids
+    [P,4], weights [P,4], and the sorted-run layout that lets the
+    transpose (gradient) be computed with cumsum+gathers instead of a
+    scatter-add (XLA TPU scatters serialize on popular texels)."""
+    uv = uv_map.reshape(-1, 2)
+    x = jnp.clip(uv[:, 0] * R - 0.5, 0.0, R - 1.0)
+    y = jnp.clip(uv[:, 1] * R - 0.5, 0.0, R - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, R - 1)
+    y1 = jnp.minimum(y0 + 1, R - 1)
+    fx = x - x0
+    fy = y - y0
+    idx = jnp.stack([y0 * R + x0, y0 * R + x1,
+                     y1 * R + x0, y1 * R + x1], axis=1)       # [P,4]
+    w = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                   (1 - fx) * fy, fx * fy], axis=1)           # [P,4]
+
+    flat_idx = idx.reshape(-1)
+    order = jnp.argsort(flat_idx)
+    sorted_tex = flat_idx[order]
+    ends = jnp.searchsorted(sorted_tex, jnp.arange(R * R),
+                            side="right") - 1                  # [R*R]
+    starts = jnp.searchsorted(sorted_tex, jnp.arange(R * R),
+                              side="left")                     # [R*R]
+    return idx, w, order, starts, ends
+
+
+def _transpose_to_atlas(g_pix, w, order, starts, ends):
+    """Scatter-free A^T g: sort-order permute + cumsum + run-difference
+    gathers.  g_pix [P,3] pixel gradients -> [R*R,3] atlas gradients."""
+    contrib = (g_pix[:, None, :] * w[..., None]).reshape(-1, 3)   # [4P,3]
+    c = jnp.cumsum(contrib[order], axis=0)
+    has = ends >= starts
+    hi = c[jnp.maximum(ends, 0)]
+    lo_idx = starts - 1
+    lo = jnp.where((lo_idx >= 0)[:, None], c[jnp.maximum(lo_idx, 0)], 0.0)
+    return jnp.where(has[:, None], hi - lo, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "R"))
+def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
+                   R: int):
+    """Adam on the atlas with a hand-derived L1 gradient: forward is 4
+    gathers, backward is the scatter-free transpose above (XLA TPU
+    scatter-adds serialize on popular texels and cost ~10x this)."""
     sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
                                     staircase=True)
     opt = optax.adam(sched)
-
-    def loss_fn(atlas):
-        rendered = oimg.bilinear_sample(atlas, uv_map)      # [V,r,r,3]
-        diff = jnp.abs(jnp.clip(rendered, 0.0, 1.0) - targets)
-        return (diff * loss_mask[..., None]).mean()
+    idx, w, order, starts, ends = _bilinear_tables(uv_map, R)
+    tgt_flat = targets.reshape(-1, 3)
+    mask_flat = loss_mask.reshape(-1, 1)
+    denom = float(tgt_flat.shape[0] * 3)
 
     def step(carry, _):
         atlas, opt_state = carry
-        loss, g = jax.value_and_grad(loss_fn)(atlas)
-        updates, opt_state = opt.update(g, opt_state)
+        flat = atlas.reshape(-1, 3)
+        rendered = (flat[idx] * w[..., None]).sum(axis=1)        # [P,3]
+        clipped = jnp.clip(rendered, 0.0, 1.0)
+        diff = clipped - tgt_flat
+        loss = (jnp.abs(diff) * mask_flat).mean()
+        # d mean(|clip(r)-t| * m) / dr
+        g_pix = (jnp.sign(diff) * mask_flat
+                 * ((rendered > 0.0) & (rendered < 1.0))) / denom
+        g = _transpose_to_atlas(g_pix, w, order, starts, ends)
+        updates, opt_state = opt.update(g.reshape(atlas.shape), opt_state)
         atlas = optax.apply_updates(atlas, updates)
         return (atlas, opt_state), loss
 
@@ -112,5 +171,5 @@ def optimize_color(
     targets = targets * loss_mask[..., None]
 
     atlas, losses = _optimize_loop(atlas_img, targets, uv_map, loss_mask,
-                                   lr, iterations)
-    return jnp.clip(atlas, 0.0, 1.0), losses
+                                   lr, iterations, R)
+    return jnp.clip(atlas.reshape(R, R, 3), 0.0, 1.0), losses
