@@ -1,0 +1,139 @@
+"""Pallas TPU rasterization kernel.
+
+The z-buffer triangle rasterizer as a hand-written Mosaic kernel: the
+pixel grid is tiled into (8, 128) VPU-shaped blocks (one grid program
+each); every program streams the face list from VMEM and predicates whole
+faces away with a bbox test (`@pl.when`) before evaluating the three edge
+functions on the 8x128 pixel block.  Faces are preloaded to VMEM once
+(10k faces x 9 floats = 360 KB << 16 MB VMEM).
+
+Versus the XLA two-level rasterizer (ops.raster.rasterize_tiled) this
+avoids the [tiles, K] candidate materialization and its top_k, and skips
+non-overlapping faces with real control flow instead of masked compute.
+
+Interpret mode makes the same kernel exact on CPU for tests; use
+`rasterize_pallas(..., interpret=True)` there.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.raster import RasterOut
+
+TILE_R = 8
+TILE_C = 128
+
+
+def _kernel(txy_ref, tz_ref, bbox_ref, zbuf_ref, fid_ref, bary_ref):
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    row0 = (ti * TILE_R).astype(jnp.float32)
+    col0 = (tj * TILE_C).astype(jnp.float32)
+
+    rows = (jax.lax.broadcasted_iota(jnp.float32, (TILE_R, TILE_C), 0)
+            + row0 + 0.5)
+    cols = (jax.lax.broadcasted_iota(jnp.float32, (TILE_R, TILE_C), 1)
+            + col0 + 0.5)
+
+    zbuf_ref[:] = jnp.full((TILE_R, TILE_C), jnp.inf, jnp.float32)
+    fid_ref[:] = jnp.full((TILE_R, TILE_C), -1, jnp.int32)
+    bary_ref[:] = jnp.zeros((TILE_R, TILE_C, 3), jnp.float32)
+
+    n_faces = txy_ref.shape[0]
+    row1 = row0 + TILE_R
+    col1 = col0 + TILE_C
+
+    def body(f, _):
+        # bbox-vs-tile rejection: predicates the whole face off
+        bb = bbox_ref[f]                       # [4]: min_x, min_y, max_x, max_y
+        overlap = ((bb[2] >= col0) & (bb[0] < col1)
+                   & (bb[3] >= row0) & (bb[1] < row1))
+
+        @pl.when(overlap)
+        def _():
+            t = txy_ref[f]                     # [6]
+            ax, ay, bx, by, cx, cy = t[0], t[1], t[2], t[3], t[4], t[5]
+            area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+            l0 = ((cx - bx) * (rows - by)
+                  - (cy - by) * (cols - bx)) * inv_area
+            l1 = ((ax - cx) * (rows - cy)
+                  - (ay - cy) * (cols - cx)) * inv_area
+            l2 = ((bx - ax) * (rows - ay)
+                  - (by - ay) * (cols - ax)) * inv_area
+            inside = ((l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
+                      & (jnp.abs(area) > 1e-12))
+            z = tz_ref[f, 0] * l0 + tz_ref[f, 1] * l1 + tz_ref[f, 2] * l2
+            z = jnp.where(inside & (z > 0.0), z, jnp.inf)
+            take = z < zbuf_ref[:]
+            zbuf_ref[:] = jnp.where(take, z, zbuf_ref[:])
+            fid_ref[:] = jnp.where(take, f, fid_ref[:])
+            bary_ref[:, :, 0] = jnp.where(take, l0, bary_ref[:, :, 0])
+            bary_ref[:, :, 1] = jnp.where(take, l1, bary_ref[:, :, 1])
+            bary_ref[:, :, 2] = jnp.where(take, l2, bary_ref[:, :, 2])
+
+        return 0
+
+    jax.lax.fori_loop(0, n_faces, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("res", "cull_backface", "interpret"))
+def rasterize_pallas(
+    verts_ndc: jnp.ndarray,    # [N,2]
+    verts_depth: jnp.ndarray,  # [N]
+    faces: jnp.ndarray,        # [F,3] int32
+    res: int,
+    cull_backface: bool = False,
+    interpret: bool = False,
+) -> RasterOut:
+    assert res % TILE_C == 0 and res % TILE_R == 0
+    px = (verts_ndc * 0.5 + 0.5) * res
+    tri = px[faces]                             # [F,3,2]
+    tz = verts_depth[faces].astype(jnp.float32)  # [F,3]
+
+    if cull_backface:
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        signed = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        tri = jnp.where((signed < 0.0)[:, None, None], tri, -1e6)
+
+    txy = tri.reshape(tri.shape[0], 6).astype(jnp.float32)
+    bbox = jnp.stack([tri[..., 0].min(1), tri[..., 1].min(1),
+                      tri[..., 0].max(1), tri[..., 1].max(1)],
+                     axis=-1).astype(jnp.float32)
+
+    grid = (res // TILE_R, res // TILE_C)
+    zbuf, fid, bary = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(txy.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tz.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bbox.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_R, TILE_C, 3), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((res, res), jnp.float32),
+            jax.ShapeDtypeStruct((res, res), jnp.int32),
+            jax.ShapeDtypeStruct((res, res, 3), jnp.float32),
+        ),
+        interpret=interpret,
+    )(txy, tz, bbox)
+    return RasterOut(face_id=fid, zbuf=zbuf, bary=bary)

@@ -272,6 +272,13 @@ def rasterize_views(verts_ndc, verts_depth, faces, res, chunk=64,
                     cull_backface=False):
     """verts_ndc [V,N,2], verts_depth [V,N] -> stacked RasterOut over views."""
     faces = faces.astype(jnp.int32)
+    import os
+
+    if (os.environ.get("PD_USE_PALLAS_RASTER") == "1" and res % 128 == 0):
+        from ..kernels.raster_pallas import rasterize_pallas
+
+        return jax.vmap(lambda nd, d: rasterize_pallas(
+            nd, d, faces, res, cull_backface))(verts_ndc, verts_depth)
     n_tiles = (res // 32) ** 2
     # overflow guard: when the per-tile candidate budget cannot possibly
     # hold the mesh (tiny renders of dense meshes), brute force is safe
