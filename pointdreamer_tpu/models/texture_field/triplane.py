@@ -112,6 +112,34 @@ def fit_color_field(key, xyz, rgb01, iterations: int = 400,
     return field, losses
 
 
+def get_textured_mesh(vertices, faces, input_xyz, input_rgb01,
+                      atlas_res: int = 1024, iterations: int = 400,
+                      rng_key=None):
+    """Full TextureField generator path (reference TF_Network.py:112-224,
+    unused by the demo): fit the color field to the input cloud, then bake
+    a complete texture atlas for the given mesh by evaluating the field at
+    every covered texel.  Returns a core.mesh.Mesh."""
+    import numpy as np
+
+    from ...core.mesh import Mesh
+    from ...pipeline import unwrap as punwrap
+    from ...pipeline.complete import dilate_atlas
+
+    key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    uvs, fuv = punwrap.unwrap(np.asarray(vertices), np.asarray(faces),
+                              atlas_res=atlas_res)
+    baked = punwrap.bake_atlas(jnp.asarray(vertices), jnp.asarray(faces),
+                               uvs, fuv, atlas_res)
+    field, _ = fit_color_field(key, jnp.asarray(input_xyz),
+                               jnp.asarray(input_rgb01), iterations)
+    pred = field_forward(field, baked["gb_pos"].reshape(-1, 3))
+    atlas = jnp.clip(pred * 0.5 + 0.5, 0.0, 1.0).reshape(
+        atlas_res, atlas_res, 3)
+    atlas = dilate_atlas(atlas, baked["mask"])
+    return Mesh(vertices=np.asarray(vertices), faces=np.asarray(faces),
+                uvs=uvs, face_uv_idx=fuv, texture=np.asarray(atlas))
+
+
 def fit_and_paint(atlas_img, atlas_painted, gb_pos, atlas_mask,
                   input_xyz, input_rgb01, iterations: int = 400,
                   rng_key=None):

@@ -90,6 +90,35 @@ def _cluster_once(vertices, faces, res):
     return new_v.astype(np.float32), nf[np.sort(fi)]
 
 
+def taubin_smooth(vertices: np.ndarray, faces: np.ndarray,
+                  iterations: int = 5, lam: float = 0.5,
+                  mu: float = -0.53) -> np.ndarray:
+    """Taubin lambda/mu smoothing (reference utils/other_utils.py:693
+    smooth-mesh helper; shrink-free unlike plain Laplacian)."""
+    import jax.numpy as jnp
+    import jax
+
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]], 0)
+    edges = np.concatenate([edges, edges[:, ::-1]], 0)
+    src = jnp.asarray(edges[:, 0])
+    dst = jnp.asarray(edges[:, 1])
+    nv = len(vertices)
+    deg = jnp.maximum(jax.ops.segment_sum(
+        jnp.ones(len(edges)), src, num_segments=nv), 1.0)[:, None]
+
+    v = jnp.asarray(vertices, jnp.float32)
+
+    def step(v, factor):
+        nbr_mean = jax.ops.segment_sum(v[dst], src, num_segments=nv) / deg
+        return v + factor * (nbr_mean - v)
+
+    for _ in range(iterations):
+        v = step(v, lam)
+        v = step(v, mu)
+    return np.asarray(v)
+
+
 def largest_component(vertices: np.ndarray, faces: np.ndarray):
     """Keep the largest edge-connected face component (removes spurious
     floater shells the implicit field can produce)."""
@@ -125,6 +154,7 @@ def reconstruct_mesh(
     target_faces: int = 10000,
     noise_stddev: Optional[float] = None,
     poco_apply=None,
+    smooth_mesh: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Point cloud (normalized to [-0.5, 0.5]) -> (vertices, faces).
 
@@ -172,4 +202,6 @@ def reconstruct_mesh(
         raise RuntimeError("iso-surface extraction produced no triangles")
     verts, faces = largest_component(verts, faces)
     verts, faces = decimate_vertex_clustering(verts, faces, target_faces)
+    if smooth_mesh:  # reference cfg smooth_mesh (configs/default.yaml:61)
+        verts = taubin_smooth(verts, faces)
     return verts.astype(np.float32), faces.astype(np.int64)

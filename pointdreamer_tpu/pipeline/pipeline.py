@@ -63,6 +63,22 @@ class Pipeline:
     # ------------------------------------------------------------------
     def recon_one_textured_mesh(self, pc_file: str, name: Optional[str] = None,
                                 timer: Optional[StageTimer] = None) -> str:
+        """Wrapper adding optional device tracing: set PD_PROFILE_DIR to
+        capture a jax.profiler trace of the whole reconstruction (the
+        TPU upgrade of the reference's wall-clock stage logs,
+        SURVEY §5 tracing)."""
+        import contextlib
+
+        prof_dir = os.environ.get("PD_PROFILE_DIR")
+        with contextlib.ExitStack() as stack:
+            if prof_dir:
+                import jax
+
+                stack.enter_context(jax.profiler.trace(prof_dir))
+            return self._recon_impl(pc_file, name, timer)
+
+    def _recon_impl(self, pc_file: str, name: Optional[str] = None,
+                    timer: Optional[StageTimer] = None) -> str:
         cfg = self.cfg
         log = self.logger
         timer = timer or StageTimer(log)
@@ -100,7 +116,7 @@ class Pipeline:
                 verts, faces = pgeo.reconstruct_mesh(
                     xyz_n, cfg.geo_from, cfg.grid_res, cfg.target_face_num,
                     cfg.noise_stddev if not cfg.input_already_noisy else None,
-                    self.poco_apply)
+                    self.poco_apply, smooth_mesh=cfg.smooth_mesh)
                 pio.save_obj(verts, faces, own_geo)
 
         tbox["out"] = None
@@ -130,6 +146,9 @@ class Pipeline:
             if cfg.point_validation_by_o3d:
                 proj = pproject.add_hpr_visibility(
                     proj, xyz_n, self.rig, cfg.hidden_point_removal_radius)
+            if cfg.refine_point_validation_by_remove_abnormal_depth:
+                proj = pproject.refine_point_validation(
+                    proj, cfg.refine_res)
             sparse = pproject.make_sparse_images(
                 proj, colors, cfg.res, cfg.point_size, cfg.edge_point_size,
                 cfg.mask_ratio_thresh)

@@ -104,6 +104,35 @@ def add_hpr_visibility(proj: ProjectionData, points_np: np.ndarray,
         point_validation=proj.point_validation | jnp.asarray(hpr))
 
 
+@functools.partial(jax.jit, static_argnames=("refine_res",))
+def refine_point_validation(proj: ProjectionData, refine_res: int = 512,
+                            window: int = 5,
+                            depth_slack: float = 0.03) -> ProjectionData:
+    """Remove points whose depth is abnormally far behind their local
+    neighborhood — the role of the reference's
+    refine_point_validation_by_remove_abnormal_depth
+    (ours_utils.py:227-324 + utils_2d.py detect_abnormal_bright_spots,
+    default-off).  TPU version: per view, min-splat valid point depths at
+    refine_res, take a (window x window) morphological local minimum, and
+    invalidate points deeper than local_min + slack."""
+    V, N, _ = proj.point_uvs.shape
+    pix = jnp.clip(proj.point_uvs * refine_res, 0,
+                   refine_res - 1).astype(jnp.int32)
+
+    def per_view(pix_v, depth_v, valid_v):
+        img = jnp.full((refine_res, refine_res), jnp.inf)
+        d = jnp.where(valid_v, depth_v, jnp.inf)
+        img = img.at[pix_v[:, 1], pix_v[:, 0]].min(d)
+        local_min = -oimg.dilate(-jnp.where(jnp.isfinite(img), img, 1e6),
+                                 window)
+        ref = local_min[pix_v[:, 1], pix_v[:, 0]]
+        return valid_v & (depth_v <= ref + depth_slack)
+
+    new_valid = jax.vmap(per_view)(pix, proj.point_depths,
+                                   proj.point_validation)
+    return proj._replace(point_validation=new_valid)
+
+
 class SparseImages(NamedTuple):
     sparse_imgs: jnp.ndarray    # [V, res, res, 3]
     hard_mask0: jnp.ndarray     # [V, res, res] foreground mask (shrunk)
