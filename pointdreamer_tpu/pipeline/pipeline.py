@@ -29,6 +29,34 @@ from . import unwrap as punwrap
 from . import unproject as punproject
 
 
+def _bucket(n: int, step: int = 2048) -> int:
+    return -(-n // step) * step
+
+
+def _pad_mesh(verts: np.ndarray, faces: np.ndarray, step: int = 2048):
+    """Pad to bucketed sizes so different shapes reuse compiled programs
+    (the reference recompiles nothing — torch is eager — but on TPU every
+    new (V, F) would retrace; degenerate padding faces never rasterize)."""
+    nv, nf = len(verts), len(faces)
+    pv, pf = _bucket(max(nv, 4), step), _bucket(max(nf, 4), step)
+    verts_p = np.concatenate(
+        [verts, np.repeat(verts[-1:], pv - nv, axis=0)]).astype(np.float32)
+    faces_p = np.concatenate(
+        [faces, np.zeros((pf - nf, 3), faces.dtype)])  # degenerate (0,0,0)
+    return verts_p, faces_p, nv, nf
+
+
+def _pad_points(xyz: np.ndarray, colors: np.ndarray, step: int = 4096):
+    n = len(xyz)
+    p = _bucket(n, step)
+    xyz_p = np.concatenate(
+        [xyz, np.repeat(xyz[-1:], p - n, axis=0)]).astype(np.float32)
+    col_p = np.concatenate([colors, np.zeros((p - n, 3), colors.dtype)])
+    mask = np.zeros(p, bool)
+    mask[:n] = True
+    return xyz_p, col_p, mask
+
+
 @dataclass
 class Pipeline:
     """Holds the per-process state: config, cameras, models, logger."""
@@ -120,8 +148,14 @@ class Pipeline:
                 pio.save_obj(verts, faces, own_geo)
 
         tbox["out"] = None
-        verts_j = jnp.asarray(verts)
-        faces_j = jnp.asarray(faces)
+        # bucketed padding: device stages compile once per bucket, not per
+        # shape (padding faces are degenerate and never rasterize)
+        verts_p, faces_p, _, n_faces = _pad_mesh(verts, faces)
+        xyz_p, colors_p, point_mask = _pad_points(
+            xyz_n, rgb.astype(np.float32) / 255.0)
+        colors = jnp.asarray(colors_p)
+        verts_j = jnp.asarray(verts_p)
+        faces_j = jnp.asarray(faces_p)
         f_normals = orast.face_normals(verts_j, faces_j)
 
         # ---- unwrap + atlas bake (cached) -----------------------------
@@ -140,12 +174,16 @@ class Pipeline:
         # ---- project + sparse images ----------------------------------
         with timer.stage("project") as tbox:
             proj = pproject.project_views(
-                self.rig, verts_j, faces_j, jnp.asarray(xyz_n),
+                self.rig, verts_j, faces_j, jnp.asarray(xyz_p),
                 crop=cfg.crop_img, padding=cfg.crop_padding,
                 depth_offset=cfg.depth_offset)
+            proj = proj._replace(
+                point_validation=proj.point_validation
+                & jnp.asarray(point_mask)[None, :])
             if cfg.point_validation_by_o3d:
                 proj = pproject.add_hpr_visibility(
-                    proj, xyz_n, self.rig, cfg.hidden_point_removal_radius)
+                    proj, xyz_n, self.rig, cfg.hidden_point_removal_radius,
+                    n_total=len(xyz_p))
             if cfg.refine_point_validation_by_remove_abnormal_depth:
                 proj = pproject.refine_point_validation(
                     proj, cfg.refine_res)

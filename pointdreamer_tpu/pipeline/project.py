@@ -95,11 +95,16 @@ def project_views(
 
 
 def add_hpr_visibility(proj: ProjectionData, points_np: np.ndarray,
-                       rig: CameraRig, radius: float = 100.0) -> ProjectionData:
+                       rig: CameraRig, radius: float = 100.0,
+                       n_total: int = None) -> ProjectionData:
     """OR-in hidden-point-removal visibility (host convex hull), like the
-    reference's point_validation_by_o3d option (demo.py:107-112)."""
+    reference's point_validation_by_o3d option (demo.py:107-112).
+    `n_total` pads the result when the device arrays are bucketed."""
     hpr = osplat.hidden_point_removal_visibility(
         points_np, np.asarray(rig.eyes), radius)
+    if n_total is not None and n_total > hpr.shape[1]:
+        pad = np.zeros((hpr.shape[0], n_total - hpr.shape[1]), bool)
+        hpr = np.concatenate([hpr, pad], axis=1)
     return proj._replace(
         point_validation=proj.point_validation | jnp.asarray(hpr))
 

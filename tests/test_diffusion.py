@@ -155,3 +155,52 @@ def test_full_imagenet256_plan_matches_torch_block_count():
     assert len(pi) == 1 + 6 * 2 + 5
     assert len(pm) == 3
     assert len(po) == 18
+
+
+def test_ddnm_matches_independent_reference_loop():
+    """Replicate simplified_ddnm_inpainting (diffusion.py:459-570) in
+    plain numpy (same equations, same RNG stream) and require our scanned
+    sampler to match the trajectory exactly."""
+    import jax
+
+    model = tiny_unet()
+    params = init_unet_params(model, image_size=16)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 16, 16)) < 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(42)
+    t_sampling = 6
+
+    ours = np.asarray(ddnm_inpaint_batch(model, params,
+                                         img * mask[..., None], mask,
+                                         key, t_sampling=t_sampling))
+
+    # ---- independent reference loop ----
+    def eps(x, t):
+        return np.asarray(model.apply(
+            {"params": params}, jnp.asarray(x),
+            jnp.full((x.shape[0],), t)))[..., :3]
+
+    masks = np.asarray(mask)[..., None]
+    y = (np.asarray(img) * 2.0 - 1.0) * masks
+    betas = make_betas()
+    skip = 1000 // t_sampling
+    times = get_schedule_jump(t_sampling, 1, 1)
+    k, sub = jax.random.split(key)
+    x = np.asarray(jax.random.normal(sub, (2, 16, 16, 3), jnp.float32))
+    eta = 0.85
+    for i, j in zip(times[:-1], times[1:]):
+        ii, jj = i * skip, (-1 if j < 0 else j * skip)
+        at = compute_alpha(betas, np.array([ii]))[0]
+        at_next = compute_alpha(betas, np.array([jj]))[0]
+        k, sub = jax.random.split(k)
+        et = eps(x, float(ii))
+        x0 = (x - et * np.sqrt(1 - at)) / np.sqrt(at)
+        sigma_t = np.sqrt(1 - at_next ** 2)         # reference's square
+        x0_hat = x0 - (x0 * masks - y)              # Eq.17, sigma_y=0
+        c1 = np.sqrt(1 - at_next) * eta
+        c2 = np.sqrt(1 - at_next) * np.sqrt(1 - eta ** 2)
+        z = np.asarray(jax.random.normal(sub, x.shape, jnp.float32))
+        x = np.sqrt(at_next) * x0_hat + sigma_t * (c1 * z + c2 * et)
+    want = np.clip((x + 1) / 2, 0, 1)
+    np.testing.assert_allclose(ours, want, atol=2e-5)
