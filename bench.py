@@ -34,7 +34,7 @@ def main():
     cfg = load_config(os.path.join(os.path.dirname(__file__) or ".",
                                    "configs", "nearest.yaml"))
     cfg.output_path = out_dir
-    cfg.geo_from = "hoppe"  # no POCO checkpoint ships with the reference
+    cfg.geo_from = "SPR"  # FFT-Poisson backend (no POCO checkpoint ships with the reference)
     cfg.save_input_pc = False
     pipe = Pipeline.create(cfg)
 
