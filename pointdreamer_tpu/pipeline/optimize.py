@@ -93,14 +93,18 @@ def _bilinear_tables(uv_map, R: int):
 
 def _transpose_to_atlas(g_pix, w, order, starts, ends):
     """Scatter-free A^T g: sort-order permute + cumsum + run-difference
-    gathers.  g_pix [P,3] pixel gradients -> [R*R,3] atlas gradients."""
+    gathers.  g_pix [P,3] pixel gradients -> [R*R,3] atlas gradients.
+    Channel-major layout: cumsum/gather on [3, 4P] so the minor dim spans
+    the 128 lanes (a 3-wide minor dim wastes 125/128 of the VPU)."""
     contrib = (g_pix[:, None, :] * w[..., None]).reshape(-1, 3)   # [4P,3]
-    c = jnp.cumsum(contrib[order], axis=0)
+    T = contrib[order].T                                          # [3,4P]
+    c = jnp.cumsum(T, axis=1)
     has = ends >= starts
-    hi = c[jnp.maximum(ends, 0)]
+    hi = c[:, jnp.maximum(ends, 0)]
     lo_idx = starts - 1
-    lo = jnp.where((lo_idx >= 0)[:, None], c[jnp.maximum(lo_idx, 0)], 0.0)
-    return jnp.where(has[:, None], hi - lo, 0.0)
+    lo = jnp.where((lo_idx >= 0)[None, :], c[:, jnp.maximum(lo_idx, 0)],
+                   0.0)
+    return jnp.where(has[None, :], hi - lo, 0.0).T
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "R"))
