@@ -43,3 +43,33 @@ def test_entry_compiles_tiny():
     # CPU in CI is too slow, so only validate the contract shape here
     mod = _load_graft()
     assert callable(mod.entry)
+
+
+def test_ddnm_views_sharded_over_dp():
+    """DDNM batch with views sharded over the dp mesh axis matches the
+    unsharded result (8 views <-> 8 virtual devices)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pointdreamer_tpu.models.diffusion import UNetModel, init_unet_params
+    from pointdreamer_tpu.models.diffusion.ddnm import ddnm_inpaint_batch
+    from pointdreamer_tpu.parallel.mesh import make_mesh
+
+    model = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                      channel_mult=(1, 2), attention_ds=(2,),
+                      num_head_channels=16, dtype=jnp.float32)
+    params = init_unet_params(model, image_size=16)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((8, 16, 16, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((8, 16, 16)) < 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    base = np.asarray(ddnm_inpaint_batch(model, params, img, mask, key,
+                                         t_sampling=4))
+
+    mesh = make_mesh(8, tp=1)
+    sh = NamedSharding(mesh, P("dp"))
+    img_s = jax.device_put(img, sh)
+    mask_s = jax.device_put(mask, sh)
+    out = np.asarray(ddnm_inpaint_batch(model, params, img_s, mask_s, key,
+                                        t_sampling=4))
+    np.testing.assert_allclose(out, base, atol=1e-4)
