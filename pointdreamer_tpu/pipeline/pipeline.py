@@ -77,9 +77,23 @@ class Pipeline:
                               cfg.cam_fov_deg, cfg.camera_distribution)
         inpainter = None
         if cfg.texture_gen_method == "DDNM_inpaint":
-            from ..models.diffusion import load_inpainter
+            import os as _os
 
-            inpainter = load_inpainter(cfg.diffusion_checkpoint, logger)
+            if (cfg.diffusion_checkpoint
+                    or _os.environ.get("PD_ALLOW_RANDOM_DIFFUSION") == "1"):
+                from ..models.diffusion import load_inpainter
+
+                inpainter = load_inpainter(cfg.diffusion_checkpoint, logger)
+            else:
+                # the reference auto-downloads 256x256_diffusion_uncond.pt
+                # (diffusion.py:447-451); offline without a checkpoint a
+                # random UNet only produces noise, so degrade explicitly
+                logger.warning(
+                    "texture_gen_method=DDNM_inpaint but no "
+                    "diffusion_checkpoint configured: falling back to "
+                    "'nearest' (set PD_ALLOW_RANDOM_DIFFUSION=1 to run "
+                    "the sampler with random weights anyway)")
+                cfg.texture_gen_method = "nearest"
         poco_apply = None
         if cfg.geo_from == "POCO" and cfg.poco_checkpoint:
             from ..models.occupancy import load_poco_field
