@@ -47,6 +47,46 @@ def evaluate_image_dirs(gt_dir: str, pred_dir: str,
     return res
 
 
+def texture_self_psnr(obj_path: str, pc_file: str,
+                      atlas_res: Optional[int] = None) -> Dict[str, float]:
+    """Self-consistency acceptance test: for every input point, look up
+    the exported atlas color at its nearest covered texel (via the
+    baked texel->3D map) and compare with the point's true color.
+    Plays the role of the reference's texture-PSNR acceptance numbers
+    when no GT renders exist."""
+    import jax.numpy as jnp
+
+    from ..core.io import load_obj, load_rgb, read_ply_xyzrgb
+    from ..ops.knn import knn
+    from ..pipeline.geometry import normalize_points
+    from ..pipeline.unwrap import bake_atlas
+
+    m = load_obj(obj_path)
+    atlas = load_rgb(obj_path.replace(".obj", ".png"))[::-1].copy()
+    R = atlas.shape[0]
+    baked = bake_atlas(jnp.asarray(m["vertices"]), jnp.asarray(m["faces"]),
+                       m["uvs"], m["face_uv_idx"], R)
+    mask = np.asarray(baked["mask"])
+    gb = np.asarray(baked["gb_pos"])[mask]
+    tex_colors = atlas[mask]
+
+    xyz, rgb = read_ply_xyzrgb(pc_file)
+    xyz_n, _, _ = normalize_points(xyz)
+    rgb01 = rgb.astype(np.float32) / 255.0
+
+    d, i = knn(jnp.asarray(xyz_n), jnp.asarray(gb), 1)
+    d = np.sqrt(np.asarray(d)[:, 0])
+    near = d < 0.02  # points whose surface texel is identifiable
+    got = tex_colors[np.asarray(i)[:, 0]][near]
+    want = rgb01[near]
+    mse = float(np.mean((got - want) ** 2))
+    return {
+        "points_matched": float(near.mean()),
+        "mae": float(np.abs(got - want).mean()),
+        "psnr": float(10 * np.log10(1.0 / max(mse, 1e-12))),
+    }
+
+
 def evaluate_geometry(pred_obj: str, gt_obj: str,
                       n_samples: int = 100000) -> Dict[str, float]:
     """MeshEvaluator protocol (models/POCO/eval/src/eval.py:28-90)."""

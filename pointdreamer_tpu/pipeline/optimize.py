@@ -83,12 +83,12 @@ def _bilinear_tables(uv_map, R: int):
 
     flat_idx = idx.reshape(-1)
     order = jnp.argsort(flat_idx)
-    sorted_tex = flat_idx[order]
-    ends = jnp.searchsorted(sorted_tex, jnp.arange(R * R),
-                            side="right") - 1                  # [R*R]
-    starts = jnp.searchsorted(sorted_tex, jnp.arange(R * R),
-                              side="left")                     # [R*R]
-    return idx, w, order, starts, ends
+    # run boundaries from per-texel counts (one bincount scatter, paid
+    # once per shape) instead of two 1M-query searchsorted binary searches
+    counts = jnp.bincount(flat_idx, length=R * R)
+    starts = jnp.cumsum(counts) - counts
+    ends = starts + counts - 1                      # -1 when count == 0
+    return idx, w, order, starts.astype(jnp.int32), ends.astype(jnp.int32)
 
 
 def _transpose_to_atlas(g_pix, w, order, starts, ends):

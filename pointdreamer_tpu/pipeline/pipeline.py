@@ -29,11 +29,11 @@ from . import unwrap as punwrap
 from . import unproject as punproject
 
 
-def _bucket(n: int, step: int = 2048) -> int:
+def _bucket(n: int, step: int = 4096) -> int:
     return -(-n // step) * step
 
 
-def _pad_mesh(verts: np.ndarray, faces: np.ndarray, step: int = 2048):
+def _pad_mesh(verts: np.ndarray, faces: np.ndarray, step: int = 4096):
     """Pad to bucketed sizes so different shapes reuse compiled programs
     (the reference recompiles nothing — torch is eager — but on TPU every
     new (V, F) would retrace; degenerate padding faces never rasterize)."""

@@ -93,6 +93,39 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray,
         if labels[fa] == labels[fb]:
             uf.union(fa, fb)
     roots = np.array([uf.find(i) for i in range(nf)])
+
+    # merge tiny charts into an adjacent chart when every face still has
+    # a positive projection onto the absorber's axis (fewer seams ->
+    # fewer NBF-masked border texels and less gutter waste)
+    fv = vertices[faces]
+    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+    dirs = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], dtype=np.float64)
+    adj_pairs = np.stack([fid_of_edge[same], fid_of_edge[same + 1]], 1)
+    for _ in range(4):
+        ids, counts = np.unique(roots, return_counts=True)
+        size_of = dict(zip(ids, counts))
+        small = {i for i, c in zip(ids, counts) if c < 20}
+        if not small:
+            break
+        changed = False
+        for fa, fb in adj_pairs:
+            if roots[fa] == roots[fb]:
+                continue
+            for s_f, big_f in ((fa, fb), (fb, fa)):
+                rs, rb2 = roots[s_f], roots[big_f]
+                if rs in small and size_of.get(rb2, 0) >= size_of.get(rs, 0):
+                    members = roots == rs
+                    axis = labels[big_f]
+                    if (fn[members] @ dirs[axis]).min() > 0.05:
+                        roots[members] = rb2
+                        labels[members] = axis
+                        changed = True
+                        break
+        if not changed:
+            break
+
     chart_ids, chart_of_face = np.unique(roots, return_inverse=True)
     n_charts = len(chart_ids)
 
