@@ -51,7 +51,8 @@ def _pad_points(xyz: np.ndarray, colors: np.ndarray, step: int = 4096):
     p = _bucket(n, step)
     xyz_p = np.concatenate(
         [xyz, np.repeat(xyz[-1:], p - n, axis=0)]).astype(np.float32)
-    col_p = np.concatenate([colors, np.zeros((p - n, 3), colors.dtype)])
+    col_p = np.concatenate(
+        [colors, np.repeat(colors[-1:], p - n, axis=0)])
     mask = np.zeros(p, bool)
     mask[:n] = True
     return xyz_p, col_p, mask
@@ -255,7 +256,8 @@ class Pipeline:
 
                 atlas_img = fit_and_paint(
                     up.atlas_img, up.atlas_painted, atlas["gb_pos"],
-                    atlas["mask"], jnp.asarray(xyz_n), colors)
+                    atlas["mask"], jnp.asarray(xyz_p),
+                    colors)  # padded pair (dup points are harmless)
                 atlas_img = pcomplete.dilate_atlas(atlas_img, up.atlas_painted)
             else:  # 'unproject'
                 atlas_img = pcomplete.dilate_atlas(up.atlas_img,

@@ -116,3 +116,44 @@ def test_end_to_end_cube(tmp_path, demo_ply, method):
     want = np.clip(cent_pos + 0.5, 0, 1)
     err = np.abs(got - want).mean()
     assert err < 0.22, f"mean texture error {err}"
+
+
+@pytest.mark.parametrize("variant", ["wo_NBF", "optimize_complete",
+                                     "no_crop_unproject"])
+def test_end_to_end_config_variants(tmp_path, demo_ply, variant):
+    """Exercise the remaining reference config axes end-to-end:
+    NBF off (configs/wo_NBF.yaml, edge_dilate_kernels=[0]), tri-plane
+    unseen completion (complete_unseen_by='optimize'), and the
+    crop_img=False + complete-by-projection path."""
+    kw = dict(
+        output_path=str(tmp_path / "out"), texture_gen_method="nearest",
+        geo_from="hoppe", grid_res=40, target_face_num=1500, cam_res=64,
+        res=64, view_num=4, xatlas_texture_res=64, optimize_from=None,
+        point_validation_by_o3d=False, save_input_pc=False,
+        edge_dilate_kernels=[3], complete_unseen_by="neighbor")
+    if variant == "wo_NBF":
+        kw["edge_dilate_kernels"] = [0]
+    elif variant == "optimize_complete":
+        kw["complete_unseen_by"] = "optimize"
+    else:
+        kw["crop_img"] = False
+        kw["complete_unseen_by"] = "unproject"
+    cfg = PipelineConfig(**kw)
+    pipe = Pipeline.create(cfg)
+    obj = pipe.recon_one_textured_mesh(demo_ply)
+    assert os.path.exists(obj)
+    atlas = pio.load_rgb(obj.replace(".obj", ".png"))
+    assert np.isfinite(atlas).all()
+
+
+def test_multilevel_nbf(tmp_path, demo_ply):
+    """Multi-level NBF kernel list (configs comment: [21,11,7,5,3,1])."""
+    cfg = PipelineConfig(
+        output_path=str(tmp_path / "out"), texture_gen_method="nearest",
+        geo_from="hoppe", grid_res=40, target_face_num=1500, cam_res=64,
+        res=64, view_num=4, xatlas_texture_res=64, optimize_from=None,
+        point_validation_by_o3d=False, save_input_pc=False,
+        edge_dilate_kernels=[7, 5, 3, 1], complete_unseen_by="neighbor")
+    pipe = Pipeline.create(cfg)
+    obj = pipe.recon_one_textured_mesh(demo_ply)
+    assert os.path.exists(obj)
