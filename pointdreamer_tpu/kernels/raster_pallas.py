@@ -36,10 +36,11 @@ def _kernel(txy_ref, tz_ref, bbox_ref, zbuf_ref, fid_ref, bary_ref):
     row0 = (ti * TILE_R).astype(jnp.float32)
     col0 = (tj * TILE_C).astype(jnp.float32)
 
-    rows = (jax.lax.broadcasted_iota(jnp.float32, (TILE_R, TILE_C), 0)
-            + row0 + 0.5)
-    cols = (jax.lax.broadcasted_iota(jnp.float32, (TILE_R, TILE_C), 1)
-            + col0 + 0.5)
+    # Mosaic iota must be integer-typed; cast to f32 afterwards
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 0)
+            .astype(jnp.float32) + row0 + 0.5)
+    cols = (jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C), 1)
+            .astype(jnp.float32) + col0 + 0.5)
 
     zbuf_ref[:] = jnp.full((TILE_R, TILE_C), jnp.inf, jnp.float32)
     fid_ref[:] = jnp.full((TILE_R, TILE_C), -1, jnp.int32)
