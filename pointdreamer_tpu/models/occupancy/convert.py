@@ -84,11 +84,13 @@ def convert_torch_state_dict(sd: Dict) -> Dict:
     if "net.cv5.weight" in sd:
         net["cv5"] = _lin(sd, "net.cv5")
         net["bn5"] = _bn(sd, "net.bn5")
-    projection = {
-        k: _lin(sd, f"projection.{k}")
-        for k in ("fc1", "fc2", "fc3", "fc8", "fc_query", "fc_value")
-    }
-    return {"net": net, "projection": projection}
+    out = {"net": net}
+    if "projection.fc1.weight" in sd:
+        out["projection"] = {
+            k: _lin(sd, f"projection.{k}")
+            for k in ("fc1", "fc2", "fc3", "fc8", "fc_query", "fc_value")
+        }
+    return out
 
 
 def load_torch_checkpoint(path: str) -> Dict:
