@@ -280,12 +280,14 @@ def rasterize_views(verts_ndc, verts_depth, faces, res, chunk=64,
         return jax.vmap(lambda nd, d: rasterize_pallas(
             nd, d, faces, res, cull_backface))(verts_ndc, verts_depth)
     n_tiles = (res // 32) ** 2
-    # overflow guard: when the per-tile candidate budget cannot possibly
-    # hold the mesh (tiny renders of dense meshes), brute force is safe
-    dense_enough = faces.shape[0] * 4 <= max_faces_per_tile * n_tiles
-    if tiled and res % 32 == 0 and dense_enough:
+    # raise the per-tile candidate budget so ~8x the average bbox-tile
+    # incidence fits; fall back to brute force only when even that
+    # explodes (tiny renders of very dense meshes)
+    F = faces.shape[0]
+    k_eff = min(F, max(max_faces_per_tile, (8 * F) // max(n_tiles, 1)))
+    if tiled and res % 32 == 0 and k_eff * n_tiles <= 32 * max(F, 4096):
         return jax.vmap(lambda nd, d: rasterize_tiled(
-            nd, d, faces, res, 32, max_faces_per_tile,
+            nd, d, faces, res, 32, k_eff,
             cull_backface))(verts_ndc, verts_depth)
     return jax.vmap(lambda nd, d: rasterize(nd, d, faces, res, chunk))(
         verts_ndc, verts_depth)

@@ -85,13 +85,17 @@ def hidden_point_removal_visibility(
     get_point_validation_by_o3d (ours_utils.py:204-225) with its
     radius=100 parameter (configs/default.yaml:45).  Returns [V, N] bool.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from scipy.spatial import ConvexHull
 
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
-    vis = np.zeros((len(eye_positions), n), dtype=bool)
-    for i, eye in enumerate(np.asarray(eye_positions, dtype=np.float64)):
-        p = pts - eye[None]
+    eyes = np.asarray(eye_positions, dtype=np.float64)
+    vis = np.zeros((len(eyes), n), dtype=bool)
+
+    def one(i):
+        p = pts - eyes[i][None]
         norms = np.linalg.norm(p, axis=1)
         radius = radius_param * norms.max()
         # spherical flip
@@ -103,6 +107,9 @@ def hidden_point_removal_visibility(
         except Exception:  # degenerate inputs: joggle (slower but robust)
             hull = ConvexHull(allpts, qhull_options="QJ")
         idx = hull.vertices
-        idx = idx[idx < n]
-        vis[i, idx] = True
+        vis[i, idx[idx < n]] = True
+
+    # qhull releases the GIL; the 8 views hull in parallel host threads
+    with ThreadPoolExecutor(max_workers=min(8, len(eyes))) as ex:
+        list(ex.map(one, range(len(eyes))))
     return vis
