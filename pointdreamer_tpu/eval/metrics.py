@@ -145,6 +145,17 @@ def chamfer_and_fscore(pred_pts, pred_nrm, gt_pts, gt_nrm,
     }
 
 
+def hausdorff(pred_pts: np.ndarray, gt_pts: np.ndarray) -> Dict[str, float]:
+    """Directed + symmetric Hausdorff distances (reference
+    eval/eval_point2surf/evaluation.py:258-300 protocol)."""
+    d_pg, _ = knn(jnp.asarray(pred_pts), jnp.asarray(gt_pts), 1)
+    d_gp, _ = knn(jnp.asarray(gt_pts), jnp.asarray(pred_pts), 1)
+    h_pg = float(np.sqrt(np.asarray(d_pg)).max())
+    h_gp = float(np.sqrt(np.asarray(d_gp)).max())
+    return {"hausdorff_pred_gt": h_pg, "hausdorff_gt_pred": h_gp,
+            "hausdorff": max(h_pg, h_gp)}
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _ray_crossings(queries, tri):
     """queries [Q,3], tri [F,3,3] -> per-query +z ray crossing counts."""
