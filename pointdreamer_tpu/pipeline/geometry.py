@@ -199,6 +199,13 @@ def reconstruct_mesh(
 
     verts, faces = oiso.marching_tets(field, axis)
     if len(faces) == 0:
+        if geo_from != "hoppe":
+            # e.g. an untrained POCO: degenerate field -> retry with the
+            # non-learned backend instead of failing the shape
+            warnings.warn(f"{geo_from} produced an empty iso-surface; "
+                          "retrying with 'hoppe'")
+            return reconstruct_mesh(xyz_normalized, "hoppe", grid_res,
+                                    target_faces, None, None, smooth_mesh)
         raise RuntimeError("iso-surface extraction produced no triangles")
     verts, faces = largest_component(verts, faces)
     verts, faces = decimate_vertex_clustering(verts, faces, target_faces)
