@@ -22,7 +22,7 @@ def init_unet_params(model: UNetModel, rng_key=None, image_size: int = 256):
 
 def load_inpainter(checkpoint_path=None, logger=None,
                    t_sampling: int = 100, eta: float = 0.85,
-                   seed: int = 1234) -> DDNMInpainter:
+                   seed: int = 1234, model_kwargs=None) -> DDNMInpainter:
     """Build the DDNM inpainter (reference prepare(), demo.py:322-328).
 
     With a checkpoint path, torch weights are converted; without one the
@@ -31,7 +31,8 @@ def load_inpainter(checkpoint_path=None, logger=None,
     the full compute path but produces noise-quality textures: use
     texture_gen_method 'nearest'/'linear' when no checkpoint exists.
     """
-    model = imagenet256_unet()
+    model = (UNetModel(**model_kwargs) if model_kwargs
+             else imagenet256_unet())
     if checkpoint_path:
         from .convert import load_torch_checkpoint
 
@@ -43,5 +44,7 @@ def load_inpainter(checkpoint_path=None, logger=None,
         warnings.warn("no diffusion checkpoint: UNet is randomly "
                       "initialized; textures from DDNM_inpaint will be "
                       "meaningless (use nearest/linear instead)")
-        params = init_unet_params(model)
+        # param shapes are image-size independent; init small & fast
+        init_size = 16 * 2 ** (len(model.channel_mult) - 1)
+        params = init_unet_params(model, image_size=init_size)
     return DDNMInpainter(model, params, t_sampling, eta, seed)

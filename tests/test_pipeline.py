@@ -157,3 +157,33 @@ def test_multilevel_nbf(tmp_path, demo_ply):
     pipe = Pipeline.create(cfg)
     obj = pipe.recon_one_textured_mesh(demo_ply)
     assert os.path.exists(obj)
+
+
+def test_end_to_end_ddnm_tiny(tmp_path, demo_ply):
+    """Full pipeline through the DDNM inpainting dispatch with a tiny
+    randomly-initialized UNet (4 denoise steps) — exercises the entire
+    diffusion texture path on CPU; colors are meaningless by design."""
+    from pointdreamer_tpu.core.camera import make_camera_rig
+    from pointdreamer_tpu.models.diffusion import load_inpainter
+
+    cfg = PipelineConfig(
+        output_path=str(tmp_path / "out"), texture_gen_method="DDNM_inpaint",
+        geo_from="hoppe", grid_res=32, target_face_num=800, cam_res=64,
+        res=32, view_num=4, xatlas_texture_res=64, optimize_from=None,
+        point_validation_by_o3d=False, save_input_pc=False,
+        edge_dilate_kernels=[3], complete_unseen_by="unproject")
+    inpainter = load_inpainter(
+        None, t_sampling=4,
+        model_kwargs=dict(model_channels=32, out_channels=6,
+                          num_res_blocks=1, channel_mult=(1, 2),
+                          attention_ds=(2,), num_head_channels=16,
+                          dtype=jnp.float32))
+    rig = make_camera_rig(cfg.view_num, cfg.cam_distance, cfg.cam_res)
+    pipe = Pipeline(cfg=cfg, rig=rig, inpainter=inpainter,
+                    logger=__import__(
+                        "pointdreamer_tpu.core.log",
+                        fromlist=["get_logger"]).get_logger())
+    obj = pipe.recon_one_textured_mesh(demo_ply)
+    assert os.path.exists(obj)
+    atlas = pio.load_rgb(obj.replace(".obj", ".png"))
+    assert np.isfinite(atlas).all()
