@@ -140,6 +140,39 @@ def deblurring_op(kernel1d: np.ndarray, h: int, w: int) -> SpectralOp:
     return SpectralOp(to_spec=to_spec, from_spec=from_spec, singulars=s)
 
 
+def compressed_sensing_op(h: int, w: int, ratio: float = 0.25,
+                          block: int = 32, seed: int = 0) -> SpectralOp:
+    """Block-wise compressed sensing (svd_operators.py:102-170 CS): per
+    block x block patch, project onto a random orthonormal basis and keep
+    the first `ratio` fraction of components."""
+    rng = np.random.default_rng(seed)
+    b2 = block * block
+    q, _ = np.linalg.qr(rng.standard_normal((b2, b2)))
+    Vt_small = jnp.asarray(q.T, jnp.float32)
+    keep = int(b2 * ratio)
+    s = np.zeros(b2, np.float32)
+    s[:keep] = 1.0
+    hb, wb = h // block, w // block
+
+    def to_spec(x):
+        b = x.shape[0]
+        c = x.shape[-1]
+        p = x.reshape(b, hb, block, wb, block, c)
+        p = p.transpose(0, 1, 3, 5, 2, 4).reshape(b, hb, wb, c, b2)
+        return jnp.einsum("bhwck,jk->bhwcj", p, Vt_small)
+
+    def from_spec(z):
+        b = z.shape[0]
+        c = z.shape[3]
+        p = jnp.einsum("bhwcj,jk->bhwck", z, Vt_small)
+        p = p.reshape(b, hb, wb, c, block, block)
+        return p.transpose(0, 1, 4, 2, 5, 3).reshape(b, hb * block,
+                                                     wb * block, c)
+
+    return SpectralOp(to_spec=to_spec, from_spec=from_spec,
+                      singulars=jnp.asarray(s)[None, None, None, None, :])
+
+
 def measure_spec(op: SpectralOp, x: jnp.ndarray) -> jnp.ndarray:
     """y_spec = S^+ U^T A x  ==  components of x observed through A,
     expressed in V-space (what the DDNM consistency step needs)."""

@@ -13,6 +13,51 @@ import numpy as np
 from ..core import io as pio
 
 
+def save_multi_material_obj(vertices, faces, face_view_ids, face_vertex_uvs,
+                            view_images, save_path,
+                            name: str = "model_normalized"):
+    """Legacy multi-material export: faces grouped by their source view,
+    each group textured by that view's inpainted image
+    (reference ours_utils.py save-mtl/obj block :418-455, the
+    `unproject_by='face'` mode of recon_one_shape).
+
+    face_view_ids [F] int (view per face, <0 -> view 0);
+    face_vertex_uvs [F,3,2] per-corner uv in the assigned view's image;
+    view_images [V,res,res,3] float in [0,1].
+    """
+    os.makedirs(save_path, exist_ok=True)
+    v = np.asarray(vertices)
+    f = np.asarray(faces, np.int64)
+    fv = np.asarray(face_view_ids)
+    fv = np.where(fv < 0, 0, fv)
+    uvs = np.asarray(face_vertex_uvs)
+    imgs = np.asarray(view_images)
+    n_views = imgs.shape[0]
+
+    for i in range(n_views):
+        pio.save_rgb(imgs[i], os.path.join(save_path, f"{i}.png"),
+                     flip_vertical=True)  # vt v-up convention
+    with open(os.path.join(save_path, f"{name}.mtl"), "w") as fid:
+        for i in range(n_views):
+            fid.write(f"newmtl material_{i}\nKd 1 1 1\nKa 0 0 0\n"
+                      f"Ks 0.4 0.4 0.4\nNs 10\nillum 2\n"
+                      f"map_Kd {i}.png\n\n")
+    with open(os.path.join(save_path, f"{name}.obj"), "w") as fid:
+        fid.write(f"mtllib {name}.mtl\n")
+        for p in v:
+            fid.write(f"v {p[0]:f} {p[1]:f} {p[2]:f}\n")
+        for vt in uvs.reshape(-1, 2):
+            fid.write(f"vt {vt[0]:f} {1.0 - vt[1]:f}\n")
+        for i in range(n_views):
+            fid.write(f"usemtl material_{i}\n")
+            for fi in np.nonzero(fv == i)[0]:
+                a = f[fi] + 1
+                t = np.array([3 * fi, 3 * fi + 1, 3 * fi + 2]) + 1
+                fid.write(f"f {a[0]}/{t[0]} {a[1]}/{t[1]} "
+                          f"{a[2]}/{t[2]}\n")
+    return os.path.join(save_path, f"{name}.obj")
+
+
 def save_textured_mesh(vertices, uvs, faces, face_uv_idx, atlas_img, mask,
                        output_root: str, name: str = "model_normalized"):
     """atlas_img [R,R,3] float in [0,1] with row 0 = v~0; mask [R,R] bool."""

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from pointdreamer_tpu.core.mesh import Mesh
+from pointdreamer_tpu.core import io as pio
 from pointdreamer_tpu.core import vis as pvis
 from pointdreamer_tpu.data import sample_colored_pc_from_mesh
 from pointdreamer_tpu.models.occupancy import alt as palt
@@ -108,3 +109,22 @@ def test_batch_driver(tmp_path, demo_ply):
     # idempotent resume
     res2 = run_dataset(cfg, [demo_ply])
     assert list(res2.values())[0]["status"] == "cached"
+
+
+def test_multi_material_obj_export(tmp_path):
+    from pointdreamer_tpu.pipeline.export import save_multi_material_obj
+
+    v, f = _cube()
+    fv_ids = np.arange(len(f)) % 3
+    uvs = np.random.default_rng(0).random((len(f), 3, 2)).astype(np.float32)
+    imgs = np.random.default_rng(1).random((3, 16, 16, 3)).astype(np.float32)
+    obj = save_multi_material_obj(v, f, fv_ids, uvs, imgs, str(tmp_path))
+    txt = open(obj).read()
+    assert txt.count("usemtl") == 3
+    assert txt.count("\nf ") == len(f)
+    assert os.path.exists(tmp_path / "model_normalized.mtl")
+    assert os.path.exists(tmp_path / "2.png")
+    m = pio.load_obj(obj)
+    # faces are regrouped by material: compare as sets
+    got = {tuple(r) for r in m["faces"]}
+    assert got == {tuple(r) for r in f}

@@ -90,3 +90,11 @@ def test_ddnm_plus_runs(sigma_y, rng):
         np.testing.assert_allclose(
             known, np.clip((np.asarray(x)[:, :, :8] + 1) / 2, 0, 1),
             atol=0.1)
+
+
+def test_compressed_sensing_op(rng):
+    op = S.compressed_sensing_op(32, 32, ratio=0.25)
+    _check_orthonormal(op, (1, 32, 32, 3), rng)
+    # A keeps exactly 25% of spectral energy dims
+    s = np.asarray(op.singulars).ravel()
+    assert s.sum() == 256 and set(np.unique(s)) == {0.0, 1.0}
