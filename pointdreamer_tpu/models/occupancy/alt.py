@@ -102,9 +102,49 @@ def init_alt_decoder_params(seed: int = 0, latent: int = 32,
             "fc8": lin(n_labels, latent)}
 
 
+def decoder_interp_mean_prefix(p, latents, pos, queries, proj_indices):
+    """Pool-first variant: mean latents + mean rel-pos, then MLP
+    (reference interp_mean_prefix.py:60-97)."""
+    xg = latents[proj_indices].mean(axis=1)
+    rel = (queries[:, None, :] - pos[proj_indices]).mean(axis=1)
+    h = linear1x1(p["fc_in"], jnp.concatenate([xg, rel], axis=-1))
+    h = linear1x1(p["mlp_0"], jax.nn.relu(h))
+    h = linear1x1(p["mlp_1"], jax.nn.relu(h))
+    return linear1x1(p["fc_out"], h)
+
+
+def decoder_interp_inv_dist_prefix(p, latents, pos, queries, proj_indices):
+    """Pool-first with inverse-distance weights
+    (reference interp_inv_dist_prefix.py)."""
+    rel = queries[:, None, :] - pos[proj_indices]
+    w = 1.0 / (jnp.linalg.norm(rel, axis=-1) + 1e-6)
+    w = (w / w.sum(axis=1, keepdims=True))[..., None]
+    xg = (latents[proj_indices] * w).sum(axis=1)
+    relm = (rel * w).sum(axis=1)
+    h = linear1x1(p["fc_in"], jnp.concatenate([xg, relm], axis=-1))
+    h = linear1x1(p["mlp_0"], jax.nn.relu(h))
+    h = linear1x1(p["mlp_1"], jax.nn.relu(h))
+    return linear1x1(p["fc_out"], h)
+
+
+def init_prefix_decoder_params(seed: int = 0, latent: int = 32,
+                               n_labels: int = 2) -> Dict:
+    rng = np.random.default_rng(seed)
+
+    def lin(o, i):
+        b = 1.0 / math.sqrt(i)
+        return {"weight": rng.uniform(-b, b, (o, i)).astype(np.float32),
+                "bias": rng.uniform(-b, b, (o,)).astype(np.float32)}
+
+    return {"fc_in": lin(latent, latent + 3), "mlp_0": lin(latent, latent),
+            "mlp_1": lin(latent, latent), "fc_out": lin(n_labels, latent)}
+
+
 DECODERS = {
     "InterpAttentionKHeadsNet": None,  # fkaconv.decoder_forward (default)
     "InterpMeanNet": decoder_interp_mean,
     "InterpMaxNet": decoder_interp_max,
     "InterpInvDistNet": decoder_interp_inv_dist,
+    "InterpMeanPrefixNet": decoder_interp_mean_prefix,
+    "InterpInvDistPrefixNet": decoder_interp_inv_dist_prefix,
 }

@@ -90,6 +90,13 @@ def test_alt_backbone_and_decoders(rng):
         out = fn(dp, lat, pos, jnp.zeros((10, 3)), sp["proj_indices"])
         assert out.shape == (10, 2)
         assert np.isfinite(np.asarray(out)).all()
+    pp = jax.tree_util.tree_map(jnp.asarray,
+                                palt.init_prefix_decoder_params(0))
+    for fn in (palt.decoder_interp_mean_prefix,
+               palt.decoder_interp_inv_dist_prefix):
+        out = fn(pp, lat, pos, jnp.zeros((10, 3)), sp["proj_indices"])
+        assert out.shape == (10, 2)
+        assert np.isfinite(np.asarray(out)).all()
 
 
 def test_batch_driver(tmp_path, demo_ply):
