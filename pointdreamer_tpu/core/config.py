@@ -74,6 +74,11 @@ class PipelineConfig:
 
     # ---- unproject / NBF (reference configs/default.yaml:54-58) ----------
     edge_dilate_kernels: List[int] = field(default_factory=lambda: [21])
+    # The reference's `edge_dilate_kernels*(res//256)` (unproject.py:289)
+    # is python list REPETITION — the effective border width stays 21 at
+    # every atlas resolution.  Parity keeps that default; set True to
+    # scale the width with resolution instead (wider borders at 1024^2).
+    scale_nbf_kernels_with_res: bool = False
     optimize_from: Optional[str] = "ours"   # None|'scratch'|'naive'|'ours'
     xatlas_texture_res: int = 1024
     complete_unseen_by: str = "neighbor"    # 'unproject'|'optimize'|'neighbor'

@@ -183,9 +183,44 @@ def measure_spec(op: SpectralOp, x: jnp.ndarray) -> jnp.ndarray:
 # general DDNM / DDNM+ sampler
 # --------------------------------------------------------------------------
 
+def ddnm_lambda(s, a, sigma_y, sigma_t, eta):
+    """Per-component data-consistency scaling Lambda (Eq. 17 generalized;
+    reference svd_operators.py Lambda, e.g. Inpainting.Lambda).  Applied to
+    the V-space residual, which is already zero on null (s==0) components.
+    The observed/unobserved split only applies when sigma_y > 0 (the
+    reference's `if a != 0 and sigma_y != 0` guard)."""
+    inv_s = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    cond = (sigma_t < a * sigma_y * inv_s) & (s > 0) & (sigma_y > 0)
+    lam = jnp.where(
+        cond,
+        s * sigma_t * jnp.sqrt(1 - eta ** 2) / jnp.maximum(
+            a * sigma_y, 1e-12),
+        jnp.where(s > 0, 1.0, 0.0))
+    return lam, cond
+
+
+def ddnm_noise_coeffs(s, cond, a, sigma_y, sigma_t, eta):
+    """Per-component noise mixing (Eq. 51; reference Lambda_noise):
+    returns (d1, d2) multiplying z ~ N(0,I) and the predicted epsilon in
+    V-space.  At sigma_y == 0 this is plain DDNM noise d1 = sigma_t*eta,
+    d2 = sigma_t*sqrt(1-eta^2) on every component (svd_ddnm.py:63-65)."""
+    inv_s = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    d_null1 = sigma_t * eta
+    d_null2 = sigma_t * jnp.sqrt(1 - eta ** 2)
+    split = sigma_y > 0
+    d1 = jnp.where(
+        split & (s > 0),
+        jnp.where(cond, sigma_t * eta,
+                  jnp.sqrt(jnp.maximum(
+                      sigma_t ** 2 - (a * sigma_y * inv_s) ** 2, 0.0))),
+        d_null1)
+    d2 = jnp.where(split & (s > 0), 0.0, d_null2)
+    return d1, d2
+
 @functools.partial(jax.jit,
                    static_argnames=("model", "op_factory", "t_sampling",
-                                    "num_timesteps"))
+                                    "num_timesteps", "travel_length",
+                                    "travel_repeat"))
 def ddnm_plus_sample(
     model, params,
     y_img: jnp.ndarray,          # degraded observation, image layout
@@ -237,30 +272,13 @@ def ddnm_plus_sample(
 
             x0_spec = op.to_spec(x0)
             resid = jnp.where(s > 0, x0_spec - y_spec, 0.0)
-            inv_s = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
-            # Lambda (Eq. 17 generalized; Inpainting.Lambda semantics)
-            cond = (sigma_t < a * sigma_y * inv_s) & (s > 0)
-            lam = jnp.where(
-                cond,
-                s * sigma_t * jnp.sqrt(1 - eta ** 2) / jnp.maximum(
-                    a * sigma_y, 1e-12),
-                jnp.where(s > 0, 1.0, 0.0))
+            lam, cond = ddnm_lambda(s, a, sigma_y, sigma_t, eta)
             x0_hat = x0 - op.from_spec(lam * resid)
 
-            # Lambda_noise (Eq. 51): spectral noise mixing
             z = jax.random.normal(k1, x.shape)
             z_spec = op.to_spec(z)
             e_spec = op.to_spec(et)
-            d_null1 = sigma_t * eta
-            d_null2 = sigma_t * jnp.sqrt(1 - eta ** 2)
-            d1 = jnp.where(
-                s > 0,
-                jnp.where(cond, sigma_t * eta,
-                          jnp.sqrt(jnp.maximum(
-                              sigma_t ** 2
-                              - (a * sigma_y * inv_s) ** 2, 0.0))),
-                d_null1)
-            d2 = jnp.where(s > 0, 0.0, d_null2)
+            d1, d2 = ddnm_noise_coeffs(s, cond, a, sigma_y, sigma_t, eta)
             noise = op.from_spec(d1 * z_spec + d2 * e_spec)
             return a * x0_hat + noise, x0
 

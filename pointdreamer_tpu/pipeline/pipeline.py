@@ -148,7 +148,8 @@ class Pipeline:
         with timer.stage("geometry") as tbox:
             cached_geo = pc_file.replace(".ply", "_untextured_mesh.obj")
             own_geo = os.path.join(geo_dir, "untextured.obj")
-            if os.path.exists(cached_geo):
+            external_mesh = os.path.exists(cached_geo)
+            if external_mesh:
                 m = pio.load_obj(cached_geo)
                 verts = (m["vertices"] - center) / scale
                 faces = m["faces"]
@@ -191,7 +192,9 @@ class Pipeline:
             proj = pproject.project_views(
                 self.rig, verts_j, faces_j, jnp.asarray(xyz_p),
                 crop=cfg.crop_img, padding=cfg.crop_padding,
-                depth_offset=cfg.depth_offset)
+                depth_offset=cfg.depth_offset,
+                # external cached meshes may be open/inconsistently wound
+                cull_backface=not external_mesh)
             proj = proj._replace(
                 point_validation=proj.point_validation
                 & jnp.asarray(point_mask)[None, :])
@@ -233,12 +236,13 @@ class Pipeline:
                 atlas["per_atlas_pixel_face_id"],
                 proj.mesh_depths, proj.uv_centers, proj.uv_scales,
                 proj.padding, sparse.scale_factors,
-                # scale the NBF border width with atlas resolution, kept
-                # odd.  (The reference's `edge_dilate_kernels*(res//256)`
-                # at unproject.py:289 is python list REPETITION — kernel 21
-                # repeated 4x at res 1024 — we implement the evident intent)
+                # The reference's `edge_dilate_kernels*(res//256)` at
+                # unproject.py:289 is python list REPETITION: the border
+                # width stays 21 at every resolution.  Default matches
+                # that; scale_nbf_kernels_with_res opts into width scaling.
                 kernel_sizes=tuple(
-                    (k * max(R // 256, 1)) | 1 if k else 0
+                    ((k * max(R // 256, 1)) | 1
+                     if cfg.scale_nbf_kernels_with_res else k) if k else 0
                     for k in cfg.edge_dilate_kernels),
                 view_res=cfg.res, depth_offset=cfg.depth_offset,
                 complete_by_projection=(cfg.complete_unseen_by == "unproject"))

@@ -52,6 +52,7 @@ def project_views(
     padding: float = 0.05,
     depth_offset: float = 1e-2,
     raster_chunk: int = 64,
+    cull_backface: bool = True,
 ) -> ProjectionData:
     """Rasterize the mesh and depth-test point visibility in all views."""
     cam_res = rig.res
@@ -75,9 +76,13 @@ def project_views(
         padding = 0.0
         point_uvs = point_ndc * 0.5 + 0.5
 
+    # Culling is only safe for closed consistently-wound meshes (our
+    # iso-surface output); user-supplied cached OBJs may be open or
+    # inconsistently wound, so the pipeline disables it for those.
     rast = orast.rasterize_views(vert_ndc, vert_depth, faces.astype(jnp.int32),
                                  cam_res, raster_chunk,
-                                 max_faces_per_tile=256, cull_backface=True)
+                                 max_faces_per_tile=256,
+                                 cull_backface=cull_backface)
     vis = osplat.point_visibility_by_depth(
         point_uvs * 2.0 - 1.0, point_depth, rast.zbuf, offset=depth_offset)
 

@@ -98,3 +98,51 @@ def test_compressed_sensing_op(rng):
     # A keeps exactly 25% of spectral energy dims
     s = np.asarray(op.singulars).ravel()
     assert s.sum() == 256 and set(np.unique(s)) == {0.0, 1.0}
+
+
+def _ref_lambda_noise_coeffs(s, a, sigma_y, sigma_t, eta):
+    """Literal numpy transcription of the reference's Lambda / Lambda_noise
+    per-component branch logic (svd_operators.py Inpainting.Lambda:361-389
+    and Lambda_noise:391-439; plain-DDNM base case svd_ddnm.py:63-65)."""
+    s = np.asarray(s, np.float64)
+    lam = np.ones_like(s)
+    d1 = np.full_like(s, sigma_t * eta)
+    d2 = np.full_like(s, sigma_t * np.sqrt(1 - eta ** 2))
+    inv_s = np.where(s > 0, 1.0 / np.where(s > 0, s, 1.0), 0.0)
+    if a != 0 and sigma_y != 0:
+        change = (sigma_t < a * sigma_y * inv_s)
+        lam = np.where(change,
+                       s * sigma_t * np.sqrt(1 - eta ** 2) / a / sigma_y,
+                       lam)
+        d1 = np.where(change, sigma_t * eta, d1)
+        d2 = np.where(change, 0.0, d2)
+        change = (sigma_t > a * sigma_y * inv_s)
+        d1 = np.where(change,
+                      np.sqrt(np.maximum(
+                          sigma_t ** 2 - a ** 2 * sigma_y ** 2 * inv_s ** 2,
+                          0.0)), d1)
+        d2 = np.where(change, 0.0, d2)
+        change = s == 0
+        d1 = np.where(change, sigma_t * eta, d1)
+        d2 = np.where(change, sigma_t * np.sqrt(1 - eta ** 2), d2)
+    return lam, d1, d2
+
+
+@pytest.mark.parametrize("sigma_y", [0.0, 0.02, 0.3])
+@pytest.mark.parametrize("sigma_t", [0.05, 0.5, 0.99])
+def test_lambda_noise_coeffs_match_reference(sigma_y, sigma_t):
+    """ddnm_lambda / ddnm_noise_coeffs match the reference's per-component
+    branch logic on a spectrum with observed (various s) and null dims."""
+    s = jnp.asarray([0.0, 0.1, 0.5, 1.0 / np.sqrt(3), 1.0], jnp.float32)
+    a, eta = 0.9, 0.85
+    lam, cond = S.ddnm_lambda(s, a, sigma_y, sigma_t, eta)
+    d1, d2 = S.ddnm_noise_coeffs(s, cond, a, sigma_y, sigma_t, eta)
+    ref_lam, ref_d1, ref_d2 = _ref_lambda_noise_coeffs(
+        np.asarray(s), a, sigma_y, sigma_t, eta)
+    # our lam is applied to a residual that is zero on s==0 components, so
+    # lam there is irrelevant — compare only observed components
+    obs = np.asarray(s) > 0
+    np.testing.assert_allclose(np.asarray(lam)[obs], ref_lam[obs],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1), ref_d1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-5, atol=1e-6)
