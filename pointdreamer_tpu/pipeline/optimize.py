@@ -91,6 +91,10 @@ def _bilinear_tables(uv_map, R: int):
     return idx, w, order, starts.astype(jnp.int32), ends.astype(jnp.int32)
 
 
+_bilinear_tables_jit = jax.jit(lambda uv, R: _bilinear_tables(uv, R),
+                               static_argnames=("R",))
+
+
 def _transpose_to_atlas(g_pix, w, order, starts, ends):
     """Scatter-free A^T g: sort-order permute + cumsum + run-difference
     gathers.  g_pix [P,3] pixel gradients -> [R*R,3] atlas gradients.
@@ -107,38 +111,92 @@ def _transpose_to_atlas(g_pix, w, order, starts, ends):
     return jnp.where(has[None, :], hi - lo, 0.0).T
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "R"))
 def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
                    R: int):
-    """Adam on the atlas with a hand-derived L1 gradient: forward is 4
-    gathers, backward is the scatter-free transpose above (XLA TPU
+    """Adam on the atlas with a hand-derived L1 gradient.
+
+    Pixels with a zero loss mask contribute nothing on EVERY iteration
+    (the mask is constant through the loop), and on real shapes only
+    ~25% of render pixels are foreground — so the loop first compacts to
+    the active pixel set (device-side nonzero into a bucketed static
+    size; one scalar fetch picks the bucket) and runs all gathers on the
+    compacted arrays.  Loss normalization keeps the FULL pixel count, so
+    the math is bit-identical to the dense version."""
+    tgt_flat = targets.reshape(-1, 3)
+    mask_flat = loss_mask.reshape(-1)
+    uv_flat = uv_map.reshape(-1, 2)
+    P_total = tgt_flat.shape[0]
+    denom = float(P_total * 3)
+
+    n_active = int(jnp.sum(mask_flat > 0))          # host sync 1
+    bucket = 32768
+    K = min(max(((n_active + bucket - 1) // bucket) * bucket, bucket),
+            P_total)
+    (sel,) = jnp.nonzero(mask_flat > 0, size=K, fill_value=-1)
+    valid = sel >= 0
+    safe = jnp.maximum(sel, 0)
+    # padding rows: distinct uniform uvs so their (zero) contributions
+    # don't all serialize on one texel
+    j = jnp.arange(K)
+    pad_uv = jnp.stack([((j % R) + 0.5) / R,
+                        ((j // R % R) + 0.5) / R], axis=-1)
+    uv_sel = jnp.where(valid[:, None], uv_flat[safe], pad_uv)
+    tgt_sel = jnp.where(valid[:, None], tgt_flat[safe], 0.0)
+    msk_sel = jnp.where(valid, mask_flat[safe], 0.0)[:, None]
+
+    # --- texel compaction: only texels touched by some corner ever get a
+    # nonzero gradient, and under Adam a never-touched texel keeps m=v=0
+    # and is never updated — so the optimization state, the run-boundary
+    # gathers, and the Adam update all shrink from R^2 to the touched set.
+    idx, w, order, starts, ends = _bilinear_tables_jit(uv_sel, R)
+    has_run = ends >= starts
+    n_texels = int(jnp.sum(has_run))                # host sync 2
+    KT = min(max(((n_texels + bucket - 1) // bucket) * bucket, bucket),
+             R * R)
+    # fill with R*R: keeps the list sorted for searchsorted, and the
+    # final scatter-back drops out-of-range rows
+    (tsel,) = jnp.nonzero(has_run, size=KT, fill_value=R * R)
+    tvalid = tsel < R * R
+    tsafe = jnp.minimum(tsel, R * R - 1)
+    starts_c = jnp.where(tvalid, starts[tsafe], 0)
+    ends_c = jnp.where(tvalid, ends[tsafe], -1)     # has=False for pads
+    idx_c = jnp.searchsorted(tsel, idx).astype(jnp.int32)   # [K,4]
+    a0_c = atlas0.reshape(-1, 3)[tsafe]
+
+    atlas_c, losses = _optimize_loop_compact(
+        a0_c, tgt_sel, msk_sel, idx_c, w, order, starts_c, ends_c, denom,
+        lr, iterations)
+    atlas = atlas0.reshape(-1, 3).at[tsel].set(atlas_c, mode="drop")
+    return atlas.reshape(atlas0.shape), losses
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _optimize_loop_compact(a0_c, tgt_sel, msk_sel, idx_c, w, order,
+                           starts_c, ends_c, denom, lr, iterations: int):
+    """Compact Adam loop over (active pixels) x (touched texels): forward
+    is 4 gathers, backward is the scatter-free transpose above (XLA TPU
     scatter-adds serialize on popular texels and cost ~10x this)."""
     sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
                                     staircase=True)
     opt = optax.adam(sched)
-    idx, w, order, starts, ends = _bilinear_tables(uv_map, R)
-    tgt_flat = targets.reshape(-1, 3)
-    mask_flat = loss_mask.reshape(-1, 1)
-    denom = float(tgt_flat.shape[0] * 3)
 
     def step(carry, _):
-        atlas, opt_state = carry
-        flat = atlas.reshape(-1, 3)
-        rendered = (flat[idx] * w[..., None]).sum(axis=1)        # [P,3]
+        atlas_c, opt_state = carry
+        rendered = (atlas_c[idx_c] * w[..., None]).sum(axis=1)   # [K,3]
         clipped = jnp.clip(rendered, 0.0, 1.0)
-        diff = clipped - tgt_flat
-        loss = (jnp.abs(diff) * mask_flat).mean()
-        # d mean(|clip(r)-t| * m) / dr
-        g_pix = (jnp.sign(diff) * mask_flat
+        diff = clipped - tgt_sel
+        loss = (jnp.abs(diff) * msk_sel).sum() / denom
+        # d (sum(|clip(r)-t| * m) / denom) / dr
+        g_pix = (jnp.sign(diff) * msk_sel
                  * ((rendered > 0.0) & (rendered < 1.0))) / denom
-        g = _transpose_to_atlas(g_pix, w, order, starts, ends)
-        updates, opt_state = opt.update(g.reshape(atlas.shape), opt_state)
-        atlas = optax.apply_updates(atlas, updates)
-        return (atlas, opt_state), loss
+        g = _transpose_to_atlas(g_pix, w, order, starts_c, ends_c)
+        updates, opt_state = opt.update(g, opt_state)
+        atlas_c = optax.apply_updates(atlas_c, updates)
+        return (atlas_c, opt_state), loss
 
-    (atlas, _), losses = jax.lax.scan(
-        step, (atlas0, opt.init(atlas0)), None, length=iterations)
-    return atlas, losses
+    (atlas_c, _), losses = jax.lax.scan(
+        step, (a0_c, opt.init(a0_c)), None, length=iterations)
+    return atlas_c, losses
 
 
 def optimize_color(
