@@ -221,12 +221,25 @@ def load_obj(path: str) -> Dict[str, np.ndarray]:
 def save_rgb(img01: np.ndarray, path: str, flip_vertical: bool = False) -> None:
     """Save an HWC (or CHW) float [0,1] image as RGB PNG
     (reference utils/utils_2d.py:351 save_CHW_RGB_img, stored row 0 = top)."""
-    img = np.asarray(img01)
+    if type(img01).__module__.startswith("jax"):
+        # quantize on device: a 1024^2 float32 atlas is 12 MB over the
+        # host link, the uint8 image 3 MB (4x faster export)
+        import jax.numpy as jnp
+
+        img01 = jnp.clip(img01 * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        img = np.asarray(img01)
+        pre_quantized = True
+    else:
+        img = np.asarray(img01)
+        pre_quantized = img.dtype == np.uint8
     if img.ndim == 3 and img.shape[0] in (3, 4) and img.shape[-1] not in (3, 4):
         img = np.transpose(img, (1, 2, 0))
     if flip_vertical:
         img = img[::-1]
-    arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if pre_quantized:
+        arr = img
+    else:
+        arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     mode = "RGBA" if arr.shape[-1] == 4 else "RGB"
     Image.fromarray(np.ascontiguousarray(arr), mode).save(path)

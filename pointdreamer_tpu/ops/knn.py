@@ -44,6 +44,11 @@ def knn(
         # precision=highest: distance argmins are wrong in bf16 MXU mode
         cross = jnp.dot(qc, ref.T, precision=jax.lax.Precision.HIGHEST)
         d2 = ((qc * qc).sum(-1, keepdims=True) - 2.0 * cross + r2[None, :])
+        if k == 1:
+            # top_k lowers to a full sort on TPU and is pathologically slow
+            # under vmap; a plain argmin reduction vectorizes cleanly
+            idx = jnp.argmin(d2, axis=-1, keepdims=True)
+            return None, (jnp.take_along_axis(d2, idx, axis=-1), idx)
         neg, idx = jax.lax.top_k(-d2, k)
         return None, (-neg, idx)
 

@@ -70,12 +70,21 @@ def save_textured_mesh(vertices, uvs, faces, face_uv_idx, atlas_img, mask,
     pio.save_textured_obj(np.asarray(vertices), np.asarray(uvs),
                           np.asarray(faces), np.asarray(face_uv_idx),
                           obj_path)
-    atlas = np.asarray(atlas_img)
+    if type(atlas_img).__module__.startswith("jax"):
+        import jax.numpy as jnp
+
+        # one uint8 transfer instead of two float32 ones (12 MB -> 3 MB)
+        atlas = np.asarray(jnp.clip(atlas_img * 255.0 + 0.5,
+                                    0.0, 255.0).astype(jnp.uint8))
+    else:
+        atlas = (np.clip(np.asarray(atlas_img), 0.0, 1.0) * 255.0
+                 + 0.5).astype(np.uint8)
     pio.save_rgb(atlas, os.path.join(models_dir, f"{name}.png"),
                  flip_vertical=True)
 
-    m = np.asarray(mask).astype(np.float32)
-    rgba = np.concatenate([atlas, m[..., None]], axis=-1)
+    m = np.asarray(mask)
+    rgba = np.concatenate(
+        [atlas, np.where(m, 255, 0).astype(np.uint8)[..., None]], axis=-1)
     pio.save_rgb(rgba, os.path.join(others_dir, "atlas_wo_background.png"),
                  flip_vertical=True)
     return obj_path

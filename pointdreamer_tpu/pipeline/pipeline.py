@@ -210,7 +210,7 @@ class Pipeline:
                 cfg.mask_ratio_thresh)
             tbox["out"] = sparse.sparse_imgs
             for i in range(self.rig.num_views):
-                pio.save_rgb(np.asarray(sparse.sparse_imgs[i]),
+                pio.save_rgb(sparse.sparse_imgs[i],
                              os.path.join(others_dir, f"{i}_sparse.png"))
 
         # ---- inpaint (cached) -----------------------------------------
@@ -225,7 +225,7 @@ class Pipeline:
                     sparse.sparse_imgs, sparse.hard_mask0, sparse.hard_mask2,
                     cfg.texture_gen_method, self.inpainter)
                 for i, p in enumerate(cached):
-                    pio.save_rgb(np.asarray(inpainted[i]), p)
+                    pio.save_rgb(inpainted[i], p)
             tbox["out"] = inpainted
 
         # ---- unproject (NBF) ------------------------------------------

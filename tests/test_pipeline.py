@@ -50,6 +50,73 @@ def test_unwrap_cube():
     assert np.percentile(dists, 99) < 0.55
 
 
+def _hull_sphere(n=2000, seed=0):
+    from scipy.spatial import ConvexHull
+
+    rng = np.random.default_rng(seed)
+    d = rng.standard_normal((n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    v = (d * 0.5).astype(np.float32)
+    f = ConvexHull(d).simplices.astype(np.int64)
+    fv = v[f]
+    nrm = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    flip = (nrm * fv.mean(1)).sum(1) < 0
+    f[flip] = f[flip][:, [0, 2, 1]]
+    return v, f
+
+
+def test_unwrap_coverage_sphere():
+    """LSCM + bitmap packing reaches decent atlas coverage on a curved
+    mesh (the round-1 shelf-packed box projection managed ~37% on real
+    meshes; the clock demo mesh now reaches ~74%)."""
+    v, f = _hull_sphere(1500)
+    uvs, fuv = punwrap.unwrap(v, f, atlas_res=512)
+    atlas = punwrap.bake_atlas(jnp.asarray(v), jnp.asarray(f), uvs, fuv, 512)
+    cov = float(np.asarray(atlas["mask"]).mean())
+    assert cov > 0.45, f"atlas coverage {cov}"
+    # no UV fold-overs: every covered texel's face plane must contain its
+    # interpolated world position
+    mask = np.asarray(atlas["mask"])
+    gb = np.asarray(atlas["gb_pos"])[mask]
+    r = np.linalg.norm(gb, axis=1)
+    assert (np.abs(r - 0.5) < 0.05).mean() > 0.99
+
+
+def test_lscm_conformality():
+    """LSCM flattening of a curved disk chart approximately preserves
+    triangle angles (conformal), unlike orthographic box projection."""
+    # spherical cap: z = sqrt(1-x^2-y^2) over a disk grid
+    n = 12
+    g = np.linspace(-0.55, 0.55, n)
+    xx, yy = np.meshgrid(g, g)
+    zz = np.sqrt(np.clip(1.0 - xx ** 2 - yy ** 2, 0.2, None))
+    pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    faces = np.array(faces)
+    uv = punwrap._lscm(pts, faces)
+    assert uv is not None
+
+    def angles(p, tri):
+        out = []
+        for k in range(3):
+            e1 = p[tri[:, (k + 1) % 3]] - p[tri[:, k]]
+            e2 = p[tri[:, (k + 2) % 3]] - p[tri[:, k]]
+            c = (e1 * e2).sum(-1) / (
+                np.linalg.norm(e1, axis=-1) * np.linalg.norm(e2, axis=-1))
+            out.append(np.arccos(np.clip(c, -1, 1)))
+        return np.stack(out, -1)
+
+    a3 = angles(pts, faces)
+    a2 = angles(np.concatenate([uv, np.zeros((len(uv), 1))], -1), faces)
+    err = np.abs(a3 - a2).max()
+    assert err < 0.15, f"max angle distortion {err} rad"
+
+
 def test_geometry_sphere_cloud():
     rng = np.random.default_rng(0)
     d = rng.standard_normal((4000, 3))
