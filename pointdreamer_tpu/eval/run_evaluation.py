@@ -19,8 +19,12 @@ from . import metrics as M
 
 
 def evaluate_image_dirs(gt_dir: str, pred_dir: str,
-                        feature_fn=None,
+                        feature_fn=None, lpips_fn=None,
                         out_file: Optional[str] = None) -> Dict[str, float]:
+    """PSNR/SSIM always; FID when `feature_fn` (e.g.
+    perception.load_inception_features) and LPIPS when `lpips_fn`
+    (perception.load_lpips) are supplied — the full protocol of
+    data/run_evaluation.py:110-372."""
     names = sorted(f for f in os.listdir(gt_dir) if f.endswith(".png"))
     gt, pred = [], []
     for n in names:
@@ -41,6 +45,8 @@ def evaluate_image_dirs(gt_dir: str, pred_dir: str,
     if feature_fn is not None:
         res["fid"] = M.fid_from_features(
             np.asarray(feature_fn(gt_j)), np.asarray(feature_fn(pr_j)))
+    if lpips_fn is not None:
+        res["lpips"] = float(np.asarray(lpips_fn(pr_j, gt_j)).mean())
     if out_file:
         with open(out_file, "a") as f:  # append like run_evaluation.py:361
             f.write(f"{pred_dir}: {res}\n")
