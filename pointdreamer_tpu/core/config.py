@@ -41,6 +41,10 @@ class PipelineConfig:
     grid_res: int = 128           # reference models/POCO/generate_1.py:48
     target_face_num: int = 10000  # reference models/POCO/generate_1.py:49
     smooth_mesh: bool = False
+    # iso-vertex bisection refinement iterations against the analytic
+    # field (reference models/POCO/generate.py:177-273 refines x10;
+    # grid-only backends like the FFT-Poisson field skip it)
+    refine_vertex_iters: int = 10
 
     # ---- texture generation ---------------------------------------------
     # 'DDNM_inpaint' | 'linear' | 'nearest'

@@ -23,6 +23,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class RasterOut(NamedTuple):
@@ -123,6 +124,69 @@ def rasterize(
     return RasterOut(face_id=fid, zbuf=zbuf, bary=bary)
 
 
+def bin_faces_grid(tri_xy, tile_x: int, tile_y: int, nt_x: int, nt_y: int,
+                   K: int, B: int = 64, span_x: int = 4, span_y: int = 4):
+    """Per-tile candidate lists WITHOUT a [T,F] top_k (which lowers to a
+    full sort per tile and dominates raster cost).  Every face spanning at
+    most span_x x span_y tiles emits one (tile, face) pair per covered
+    tile; the pair stream is sorted by tile id and each tile gathers its K
+    consecutive sorted positions — scatter-free (TPU scatters serialize;
+    gathers vectorize) and only span_x*span_y*F sort keys.  Faces larger
+    than the footprint go to a B-slot side list appended to EVERY tile, so
+    coverage stays exact as long as there are at most B such faces
+    (callers size the footprint so overflow is the rare pathological
+    case).  Returns [T, K+B] int32 candidate face ids, -1 = empty slot.
+    Tiles are row-major: tile_id = ty * nt_x + tx."""
+    T = nt_x * nt_y
+    F = tri_xy.shape[0]
+    fx0 = jnp.floor(tri_xy[..., 0].min(1) / tile_x).astype(jnp.int32)
+    fx1 = jnp.floor(tri_xy[..., 0].max(1) / tile_x).astype(jnp.int32)
+    fy0 = jnp.floor(tri_xy[..., 1].min(1) / tile_y).astype(jnp.int32)
+    fy1 = jnp.floor(tri_xy[..., 1].max(1) / tile_y).astype(jnp.int32)
+    valid = ((fx1 >= 0) & (fx0 <= nt_x - 1)
+             & (fy1 >= 0) & (fy0 <= nt_y - 1))
+    tx0 = jnp.clip(fx0, 0, nt_x - 1)
+    tx1 = jnp.clip(fx1, 0, nt_x - 1)
+    ty0 = jnp.clip(fy0, 0, nt_y - 1)
+    ty1 = jnp.clip(fy1, 0, nt_y - 1)
+    small = valid & (tx1 - tx0 <= span_x - 1) & (ty1 - ty0 <= span_y - 1)
+
+    cx = tx0[:, None] + jnp.arange(span_x, dtype=jnp.int32)[None]  # [F,Sx]
+    cy = ty0[:, None] + jnp.arange(span_y, dtype=jnp.int32)[None]  # [F,Sy]
+    okx = cx <= tx1[:, None]
+    oky = cy <= ty1[:, None]
+    tidg = cy[:, :, None] * nt_x + cx[:, None, :]                  # [F,Sy,Sx]
+    ok = small[:, None, None] & oky[:, :, None] & okx[:, None, :]
+    E = span_x * span_y
+    tid = jnp.where(ok, tidg, T).reshape(-1)         # [E*F], >=T = drop
+    fid = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[:, None, None],
+        (F, span_y, span_x)).reshape(-1)
+
+    order = jnp.argsort(tid, stable=True)            # E*F keys only
+    stid = tid[order]
+    sfid = fid[order]
+    bounds = jnp.searchsorted(stid, jnp.arange(T + 1, dtype=jnp.int32))
+    pos = bounds[:T, None] + jnp.arange(K, dtype=jnp.int32)[None]  # [T,K]
+    ok_pos = pos < bounds[1:, None]
+    cand = jnp.where(ok_pos, sfid[jnp.minimum(pos, E * F - 1)], -1)
+
+    if B > 0:
+        (big_idx,) = jnp.nonzero(valid & ~small, size=B, fill_value=-1)
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(big_idx.astype(jnp.int32)[None], (T, B))],
+            axis=1)
+    return cand
+
+
+def _footprint_span(res: int, tile: int) -> int:
+    """Footprint (in tiles) for square-tile binning: big enough that faces
+    up to ~res/8 px — the largest seen on decimated meshes and LSCM atlas
+    charts (measured max span 4 tiles of 16 at 512^2) — emit pairs rather
+    than overflow the side list; spans scale linearly with resolution."""
+    return int(np.clip(res // (tile * 8), 4, 8))
+
+
 @functools.partial(jax.jit, static_argnames=("res", "tile",
                                               "max_faces_per_tile",
                                               "cull_backface"))
@@ -131,20 +195,23 @@ def rasterize_tiled(
     verts_depth: jnp.ndarray,
     faces: jnp.ndarray,
     res: int,
-    tile: int = 32,
-    max_faces_per_tile: int = 512,
+    tile: int = 16,
+    max_faces_per_tile: int = None,
     cull_backface: bool = False,
 ) -> RasterOut:
-    """Two-level rasterizer: bin faces to pixel tiles by bounding box, then
-    test only each tile's candidate faces — O(tiles * K * tile^2) instead
-    of O(res^2 * F).  ~50-100x faster than `rasterize` at 512^2 x 10k
-    faces; candidates beyond `max_faces_per_tile` per tile are dropped
-    (never observed for decimated meshes that fill the frame; raise K for
-    pathological inputs).
+    """Two-level rasterizer: bin faces to pixel tiles by bounding box
+    (sort-based binning, `bin_faces_grid`), then test only each tile's
+    candidate faces — O(tiles * K * tile^2) instead of O(res^2 * F).
+    Candidates beyond `max_faces_per_tile` per tile are dropped (never
+    observed for decimated meshes that fill the frame; raise K for
+    pathological inputs).  max_faces_per_tile=None sizes the budget at
+    8x the mean bbox-tile incidence.
     """
     assert res % tile == 0
     nt = res // tile                       # tiles per side
     F = faces.shape[0]
+    if max_faces_per_tile is None:
+        max_faces_per_tile = max(96, (8 * F) // (nt * nt))
     K = min(max_faces_per_tile, F)
 
     px = (verts_ndc * 0.5 + 0.5) * res
@@ -162,28 +229,12 @@ def rasterize_tiled(
         front = (signed < 0.0)[:, None, None]
         tri_xy = jnp.where(front, tri_xy, -1e6)
 
-    # face bbox in tile units
-    fmin = jnp.floor(tri_xy.min(axis=1) / tile).astype(jnp.int32)
-    fmax = jnp.floor(tri_xy.max(axis=1) / tile).astype(jnp.int32)
-    tx = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 1)
-    ty = jax.lax.broadcasted_iota(jnp.int32, (nt, nt), 0)
-    # overlap [nt,nt,F]
-    overlap = ((tx[..., None] >= fmin[None, None, :, 0])
-               & (tx[..., None] <= fmax[None, None, :, 0])
-               & (ty[..., None] >= fmin[None, None, :, 1])
-               & (ty[..., None] <= fmax[None, None, :, 1]))
-
-    # per tile: first K overlapping face indices (top_k on descending score
-    # keeps ascending face order among hits)
-    score = jnp.where(overlap, -jax.lax.broadcasted_iota(
-        jnp.int32, overlap.shape, 2), jnp.iinfo(jnp.int32).min)
-    topv, topi = jax.lax.top_k(score.reshape(nt * nt, F), K)
-    cand_valid = topv > jnp.iinfo(jnp.int32).min    # [T,K]
-    cand = jnp.where(cand_valid, topi, 0)            # [T,K]
-
-    ctri = tri_xy[cand]                              # [T,K,3,2]
-    cz = tri_z[cand]                                 # [T,K,3]
-    cid = jnp.where(cand_valid, cand, -1)
+    span = _footprint_span(res, tile)
+    cid = bin_faces_grid(tri_xy, tile, tile, nt, nt, K, B=64,
+                         span_x=span, span_y=span)       # [T,K+B]
+    cand = jnp.maximum(cid, 0)
+    ctri = tri_xy[cand]                              # [T,K+B,3,2]
+    cz = tri_z[cand]                                 # [T,K+B,3]
 
     # local pixel grid per tile
     trow = (jnp.arange(nt * nt, dtype=jnp.int32) // nt) * tile
@@ -192,9 +243,10 @@ def rasterize_tiled(
     lx = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1) + 0.5
 
     # scan over candidate chunks (bounds HBM temps to [T, CC, tile, tile])
-    CC = min(64, K)
-    n_cc = -(-K // CC)
-    pad_k = n_cc * CC - K
+    KB = cid.shape[1]                     # K + big-face side list
+    CC = min(64, KB)
+    n_cc = -(-KB // CC)
+    pad_k = n_cc * CC - KB
     if pad_k:
         ctri = jnp.concatenate(
             [ctri, jnp.full((ctri.shape[0], pad_k, 3, 2), -1e6)], axis=1)
@@ -279,15 +331,18 @@ def rasterize_views(verts_ndc, verts_depth, faces, res, chunk=64,
 
         return jax.vmap(lambda nd, d: rasterize_pallas(
             nd, d, faces, res, cull_backface))(verts_ndc, verts_depth)
-    n_tiles = (res // 32) ** 2
-    # raise the per-tile candidate budget so ~8x the average bbox-tile
-    # incidence fits; fall back to brute force only when even that
-    # explodes (tiny renders of very dense meshes)
-    F = faces.shape[0]
-    k_eff = min(F, max(max_faces_per_tile, (8 * F) // max(n_tiles, 1)))
-    if tiled and res % 32 == 0 and k_eff * n_tiles <= 32 * max(F, 4096):
+    if (tiled and res % 128 == 0
+            and os.environ.get("PD_NO_PALLAS_RASTER") != "1"
+            and jax.default_backend() != "cpu"):
+        # Mosaic kernel path: XLA binning + per-tile VMEM z-buffer loop
+        # (kernels/raster_pallas.rasterize_views_binned_pallas)
+        from ..kernels.raster_pallas import rasterize_views_binned_pallas
+
+        return rasterize_views_binned_pallas(verts_ndc, verts_depth, faces,
+                                             res, cull_backface)
+    if tiled and res % 16 == 0:
         return jax.vmap(lambda nd, d: rasterize_tiled(
-            nd, d, faces, res, 32, k_eff,
+            nd, d, faces, res, 16, None,
             cull_backface))(verts_ndc, verts_depth)
     return jax.vmap(lambda nd, d: rasterize(nd, d, faces, res, chunk))(
         verts_ndc, verts_depth)

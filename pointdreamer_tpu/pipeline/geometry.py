@@ -155,11 +155,16 @@ def reconstruct_mesh(
     noise_stddev: Optional[float] = None,
     poco_apply=None,
     smooth_mesh: bool = False,
+    refine_iters: int = 10,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Point cloud (normalized to [-0.5, 0.5]) -> (vertices, faces).
 
     `poco_apply`, if given, is a callable [M,3]->[M] occupancy-signed field
     (negative inside) from models.occupancy; used when geo_from='POCO'.
+    `refine_iters`: bisection refinement of iso-vertices against the true
+    field (reference generate.py:177-273); applies to the analytic
+    backends (POCO/hoppe — the FFT-Poisson field only exists on the grid,
+    where linear interpolation is already exact along edges).
     """
     pts = np.asarray(xyz_normalized, np.float32)
     if noise_stddev:
@@ -176,6 +181,7 @@ def reconstruct_mesh(
                       "falling back to the non-learned 'hoppe' backend")
         geo_from = "hoppe"
 
+    field_fn = None          # analytic field for vertex refinement
     if geo_from == "POCO":
         # poco_apply: factory points -> field fn (latents encoded once per
         # shape; models/occupancy/network.py make_poco_field)
@@ -191,13 +197,19 @@ def reconstruct_mesh(
     elif geo_from == "hoppe":
         normals = osdf.estimate_oriented_normals(pts)
         pj, nj = jnp.asarray(pts), jnp.asarray(normals)
-        field = osdf.eval_sdf_on_grid_banded(
-            lambda q: osdf.hoppe_sdf(q, pj, nj), pts, grid_res,
-            GRID_LO, GRID_HI)
+        field_fn = lambda q: osdf.hoppe_sdf(q, pj, nj)  # noqa: E731
+        field = osdf.eval_sdf_on_grid_banded(field_fn, pts, grid_res,
+                                             GRID_LO, GRID_HI)
     else:
         raise ValueError(f"unknown geo_from={geo_from}")
 
-    verts, faces = oiso.marching_tets(field, axis)
+    verts, faces, edge_keys = oiso.marching_tets(field, axis,
+                                                 return_edge_keys=True)
+    if field_fn is not None and refine_iters > 0 and len(verts):
+        # reference generate.py:177-273: 10-iteration occupancy bisection
+        # of every iso vertex along its grid edge
+        verts = oiso.refine_vertices_bisection(
+            field_fn, verts, edge_keys, field, axis, refine_iters)
     if len(faces) == 0:
         if geo_from != "hoppe":
             # e.g. an untrained POCO: degenerate field -> retry with the

@@ -160,7 +160,8 @@ class Pipeline:
                 verts, faces = pgeo.reconstruct_mesh(
                     xyz_n, cfg.geo_from, cfg.grid_res, cfg.target_face_num,
                     cfg.noise_stddev if not cfg.input_already_noisy else None,
-                    self.poco_apply, smooth_mesh=cfg.smooth_mesh)
+                    self.poco_apply, smooth_mesh=cfg.smooth_mesh,
+                    refine_iters=cfg.refine_vertex_iters)
                 pio.save_obj(verts, faces, own_geo)
 
         tbox["out"] = None

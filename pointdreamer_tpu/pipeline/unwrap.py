@@ -491,7 +491,7 @@ def bake_atlas(vertices, faces, uvs, face_uv_idx, resolution: int,
     ndc = uvs_j * 2.0 - 1.0
     depth = jnp.ones((uvs_j.shape[0],), jnp.float32)
     fuv = jnp.asarray(face_uv_idx, jnp.int32)
-    if resolution % 32 == 0:
+    if resolution % 16 == 0:
         out = orast.rasterize_tiled(ndc, depth, fuv, resolution)
     else:
         out = orast.rasterize(ndc, depth, fuv, resolution, chunk)
