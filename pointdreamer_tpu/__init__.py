@@ -16,3 +16,29 @@ run on host, with a C++ quadric-decimation library under native/.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache():
+    """XLA compiles through the tunneled-TPU compile service cost
+    30-120 s per big graph; the persistent cache turns every repeat
+    compile (fresh processes, batch runs, the driver's bench) into a
+    ~1-3 s deserialization.  Opt out with PD_JAX_CACHE_DIR=off."""
+    import os
+
+    cache = os.environ.get("PD_JAX_CACHE_DIR")
+    if cache == "off":
+        return
+    if not cache:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax or read-only fs
+        pass
+
+
+_enable_persistent_compile_cache()

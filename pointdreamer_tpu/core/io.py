@@ -93,6 +93,90 @@ def read_ply_xyzrgb(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return xyz, rgb
 
 
+def load_ply_mesh(path: str) -> Dict[str, np.ndarray]:
+    """Read a PLY MESH (vertex + face elements), ascii or
+    binary_little_endian.  Returns {'vertices' [N,3] f32,
+    'faces' [F,3] i64} (quads are fan-triangulated).  The point2surf GT
+    meshes (eval/eval_point2surf/evaluation.py:221-305 load them with
+    trimesh) are plain tri meshes in this format."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []           # (name, count, [(prop, dtype) | list])
+        cur = None
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: unexpected EOF in header")
+            tok = line.decode("ascii", "replace").strip().split()
+            if not tok:
+                continue
+            if tok[0] == "format":
+                fmt = tok[1]
+            elif tok[0] == "element":
+                cur = (tok[1], int(tok[2]), [])
+                elements.append(cur)
+            elif tok[0] == "property" and cur is not None:
+                if tok[1] == "list":
+                    cur[2].append(("list", _PLY_TYPES[tok[2]],
+                                   _PLY_TYPES[tok[3]], tok[-1]))
+                else:
+                    cur[2].append(("scalar", _PLY_TYPES[tok[1]], tok[-1]))
+            elif tok[0] == "end_header":
+                break
+
+        verts, faces = None, []
+        for name, count, props in elements:
+            if fmt == "ascii":
+                rows = [f.readline().split() for _ in range(count)]
+                if name == "vertex":
+                    idx = {p[-1]: i for i, p in enumerate(props)
+                           if p[0] == "scalar"}
+                    arr = np.array([[r[idx["x"]], r[idx["y"]], r[idx["z"]]]
+                                    for r in rows], np.float32)
+                    verts = arr
+                elif name == "face":
+                    for r in rows:
+                        k = int(r[0])
+                        poly = [int(v) for v in r[1:1 + k]]
+                        for j in range(1, k - 1):
+                            faces.append([poly[0], poly[j], poly[j + 1]])
+            elif fmt == "binary_little_endian":
+                if all(p[0] == "scalar" for p in props):
+                    dtype = np.dtype([(p[-1], "<" + p[1]) for p in props])
+                    rec = np.frombuffer(f.read(dtype.itemsize * count),
+                                        dtype=dtype, count=count)
+                    if name == "vertex":
+                        verts = np.stack([rec["x"], rec["y"], rec["z"]],
+                                         1).astype(np.float32)
+                else:
+                    # list property (face indices): parse sequentially
+                    for _ in range(count):
+                        for p in props:
+                            if p[0] == "list":
+                                cnt_dt = np.dtype("<" + p[1])
+                                val_dt = np.dtype("<" + p[2])
+                                k = int(np.frombuffer(
+                                    f.read(cnt_dt.itemsize), cnt_dt)[0])
+                                poly = np.frombuffer(
+                                    f.read(val_dt.itemsize * k), val_dt,
+                                    count=k).astype(np.int64)
+                                if name == "face":
+                                    for j in range(1, k - 1):
+                                        faces.append([poly[0], poly[j],
+                                                      poly[j + 1]])
+                            else:
+                                f.read(np.dtype("<" + p[1]).itemsize)
+            else:
+                raise ValueError(f"{path}: unsupported PLY format {fmt}")
+
+    if verts is None:
+        raise ValueError(f"{path}: no vertex element")
+    return {"vertices": verts,
+            "faces": np.asarray(faces, np.int64).reshape(-1, 3)}
+
+
 def save_colored_pc_ply(xyz: np.ndarray, rgb01: np.ndarray, path: str) -> None:
     """Write xyz float + rgb (float in [0,1] or uint8) as binary PLY
     (reference utils/other_utils.py:122)."""
@@ -242,7 +326,10 @@ def save_rgb(img01: np.ndarray, path: str, flip_vertical: bool = False) -> None:
         arr = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     mode = "RGBA" if arr.shape[-1] == 4 else "RGB"
-    Image.fromarray(np.ascontiguousarray(arr), mode).save(path)
+    # compress_level 1: ~4x faster than the zlib default at ~10% larger
+    # files — the export stage is wall-clock-visible per shape
+    Image.fromarray(np.ascontiguousarray(arr), mode).save(
+        path, compress_level=1)
 
 
 def load_rgb(path: str) -> np.ndarray:

@@ -83,9 +83,24 @@ def active_cell_mask(values: jnp.ndarray, res: int) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("res",))
 def _emit_triangles(values, axis_coords, cells, res):
-    """cells: [A] flat cube index over the (R-1)^3 cube grid (padded entries
-    = -1).  Returns per-tri vertex positions [A,6,2,3,3], edge keys
-    [A,6,2,3] int64 (sorted global corner-pair), and validity [A,6,2]."""
+    """cells: [A] flat cube index over the (R-1)^3 cube grid (padded
+    entries = -1), A a multiple of _EMIT_BUCKET.  Returns per-tri vertex
+    positions [A,6,2,3,3], edge keys [A,6,2,3] int64 (sorted global
+    corner-pair), and validity [A,6,2].  A lax.map over fixed-size
+    buckets: the (large) emission body compiles ONCE per grid res and is
+    reused for every active-cell count."""
+    n_b = cells.shape[0] // _EMIT_BUCKET
+    outs = jax.lax.map(
+        lambda c: _emit_triangles_bucket(values, axis_coords, c, res),
+        cells.reshape(n_b, _EMIT_BUCKET))
+    return tuple(o.reshape((-1,) + o.shape[2:]) for o in outs)
+
+
+_EMIT_BUCKET = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def _emit_triangles_bucket(values, axis_coords, cells, res):
     rm1 = res - 1
     ok = cells >= 0
     c = jnp.maximum(cells, 0)
@@ -158,6 +173,20 @@ def _emit_triangles(values, axis_coords, cells, res):
     return vpos, ekey, tri_valid
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _gather_valid(vpos, ekey, valid, size: int):
+    """Compact valid triangles to the front (device-side): returns
+    ([size,3,3] positions, [size,3] keys); entries beyond the true count
+    are garbage — callers slice by the count.  Stable argsort on !valid
+    moves valid entries to the front in order (jnp.nonzero's sized
+    lowering costs a ~50 s XLA compile per shape; the sort compiles in
+    milliseconds and runs in ~1 ms at 300k entries)."""
+    flat_v = valid.reshape(-1)
+    order = jnp.argsort(jnp.logical_not(flat_v), stable=True)
+    tid = order[:size]
+    return (vpos.reshape(-1, 3, 3)[tid], ekey.reshape(-1, 3)[tid])
+
+
 def marching_tets(values: np.ndarray, axis: np.ndarray,
                   bucket: int = 8192, return_edge_keys: bool = False
                   ) -> Tuple[np.ndarray, ...]:
@@ -171,6 +200,7 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
     `refine_vertices_bisection` decodes back into grid-edge endpoints.
     """
     res = values.shape[0]
+    bucket = _EMIT_BUCKET
     vals_j = jnp.asarray(values, jnp.float32)
     mask = np.asarray(active_cell_mask(vals_j, res))
     cells = np.nonzero(mask.reshape(-1))[0].astype(np.int32)
@@ -183,12 +213,14 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
 
     vpos, ekey, valid = _emit_triangles(
         vals_j, jnp.asarray(axis, jnp.float32), jnp.asarray(cells_p), res)
-    vpos = np.asarray(vpos).reshape(-1, 3, 3)
-    ekey = np.asarray(ekey).reshape(-1, 3)
-    valid = np.asarray(valid).reshape(-1)
-
-    tri_pos = vpos[valid]          # [T,3,3]
-    tri_key = ekey[valid]          # [T,3]
+    # compact ON DEVICE before the host transfer: the raw [A,6,2,...]
+    # buffers are ~20 MB (dominated pipeline cost through the tunneled
+    # TPU); the valid triangles are ~1 MB
+    count = int(valid.sum())
+    size = max(bucket, -(-count // bucket) * bucket)
+    tri_pos_d, tri_key_d = _gather_valid(vpos, ekey, valid, size)
+    tri_pos = np.asarray(tri_pos_d)[:count]          # [T,3,3]
+    tri_key = np.asarray(tri_key_d)[:count]          # [T,3]
 
     flat_keys = tri_key.reshape(-1)
     uniq, inv = np.unique(flat_keys, return_inverse=True)

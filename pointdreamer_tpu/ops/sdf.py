@@ -74,49 +74,87 @@ def _smallest_eigvec_3x3(cov: jnp.ndarray) -> jnp.ndarray:
 def estimate_normals_pca(points: jnp.ndarray, k: int = 16) -> jnp.ndarray:
     """Unoriented normals = smallest eigenvector of the local covariance."""
     _, idx = knn(points, points, k)
+    return pca_normals_from_idx(points, idx)
+
+
+@jax.jit
+def pca_normals_from_idx(points: jnp.ndarray,
+                         idx: jnp.ndarray) -> jnp.ndarray:
+    """PCA normals given precomputed kNN indices [N,k] (lets callers share
+    one kNN pass between PCA and MST orientation)."""
     nbrs = points[idx]                                  # [N,k,3]
     mean = nbrs.mean(axis=1, keepdims=True)
     cent = nbrs - mean
-    cov = jnp.einsum("nki,nkj->nij", cent, cent) / k    # [N,3,3]
+    cov = jnp.einsum("nki,nkj->nij", cent, cent) / idx.shape[1]
     return _smallest_eigvec_3x3(cov)
 
 
 def orient_normals_mst(points: np.ndarray, normals: np.ndarray,
-                       k: int = 12) -> np.ndarray:
+                       k: int = 12,
+                       knn_idx: np.ndarray = None) -> np.ndarray:
     """Flip normals to a globally consistent orientation by propagating
     along a minimum spanning tree of the kNN graph weighted by
     1 - |n_i . n_j| (Hoppe et al. '92), seeded so the topmost point faces
     +y (outward for a closed shape).  Host-side: inherently sequential.
+
+    The flip is a SIGN: s(node) = s(parent) * sign(n_node . n_parent)
+    over ORIGINAL normals, i.e. a product of edge signs along the tree
+    path — so instead of a python loop over 30k nodes we propagate signs
+    level-by-level over the BFS tree with vectorized gathers.
+    `knn_idx` [N, >=k+1] (self first) skips the internal kNN pass.
     """
     from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import minimum_spanning_tree, breadth_first_order
+    from scipy.sparse.csgraph import (breadth_first_order,
+                                      minimum_spanning_tree)
 
     pts = np.asarray(points, np.float64)
-    nrm = np.asarray(normals, np.float64).copy()
+    nrm = np.asarray(normals, np.float64)
     n = len(pts)
-    d2, idx = map(np.asarray, knn(jnp.asarray(pts, jnp.float32),
-                                  jnp.asarray(pts, jnp.float32), k + 1))
-    rows = np.repeat(np.arange(n), k)
-    cols = idx[:, 1:].reshape(-1)
+    if knn_idx is None:
+        _, knn_idx = map(np.asarray, knn(jnp.asarray(pts, jnp.float32),
+                                         jnp.asarray(pts, jnp.float32),
+                                         k + 1))
+    idx = np.asarray(knn_idx)[:, 1:k + 1]
+    rows = np.repeat(np.arange(n), idx.shape[1])
+    cols = idx.reshape(-1)
     w = 1.0 - np.abs((nrm[rows] * nrm[cols]).sum(-1))
     g = coo_matrix((w + 1e-9, (rows, cols)), shape=(n, n))
     mst = minimum_spanning_tree(g)
     mst = mst + mst.T
     seed = int(np.argmax(pts[:, 1]))
-    if nrm[seed, 1] < 0:
-        nrm[seed] = -nrm[seed]
     order, preds = breadth_first_order(mst, seed, directed=False)
-    for node in order[1:]:
-        p = preds[node]
-        if p >= 0 and (nrm[node] * nrm[p]).sum() < 0:
-            nrm[node] = -nrm[node]
-    return nrm.astype(np.float32)
+
+    # per-node edge sign vs parent (original normals), then propagate the
+    # cumulative product level-by-level: BFS order is nondecreasing in
+    # depth, so each sweep's parents are already finalized
+    child = order[preds[order] >= 0]
+    par = preds[child]
+    edge_sign = np.where((nrm[child] * nrm[par]).sum(-1) < 0, -1.0, 1.0)
+    sign = np.ones(n)
+    done = np.zeros(n, bool)
+    done[seed] = True
+    pending = np.arange(len(child))
+    while len(pending):
+        ready = done[par[pending]]
+        if not ready.any():
+            break                      # disconnected components keep +1
+        sel = pending[ready]
+        sign[child[sel]] = sign[par[sel]] * edge_sign[sel]
+        done[child[sel]] = True
+        pending = pending[~ready]
+    if sign[seed] * nrm[seed, 1] < 0:
+        sign = -sign
+    return (nrm * sign[:, None]).astype(np.float32)
 
 
 def estimate_oriented_normals(points: np.ndarray, k_pca: int = 16,
                               k_mst: int = 12) -> np.ndarray:
-    nrm = np.asarray(estimate_normals_pca(jnp.asarray(points), k_pca))
-    return orient_normals_mst(points, nrm, k_mst)
+    """One shared kNN pass feeds both PCA and the MST graph."""
+    pj = jnp.asarray(points, jnp.float32)
+    k = max(k_pca, k_mst + 1)
+    _, idx = knn(pj, pj, k)
+    nrm = np.asarray(pca_normals_from_idx(pj, idx[:, :k_pca]))
+    return orient_normals_mst(points, nrm, k_mst, knn_idx=np.asarray(idx))
 
 
 # --------------------------------------------------------------------------
