@@ -5,7 +5,8 @@ Reference: models/DDNM's main CLI paths (guided_diffusion/diffusion.py
 image and restore it with DDNM/DDNM+ over the guided-diffusion UNet.
 
     python -m pointdreamer_tpu.cli.ddnm_restore --image in.png \
-        --deg inpainting|sr2|sr4|colorization|deblur \
+        --deg inpainting|sr2|sr4|colorization|deblur|deblur_aniso| \
+              sr_conv2|sr_conv4|cs_wh|denoising \
         --checkpoint 256x256_diffusion_uncond.pt --out out.png \
         [--sigma_y 0.0] [--steps 100]
 """
@@ -18,7 +19,8 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--deg", default="inpainting",
                     choices=["inpainting", "sr2", "sr4", "colorization",
-                             "deblur"])
+                             "deblur", "deblur_aniso", "sr_conv2",
+                             "sr_conv4", "cs_wh", "denoising"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--sigma_y", type=float, default=0.0)
     ap.add_argument("--steps", type=int, default=100)
@@ -47,6 +49,24 @@ def main():
         factory = lambda r=r: S.super_resolution_op(h, w, r)
     elif args.deg == "colorization":
         factory = lambda: S.colorization_op(h, w)
+    elif args.deg == "deblur_aniso":
+        # the reference's anisotropic pair (svd_operators.py:1094 usage
+        # in main.py): wide sigma on x, narrow on y
+        xs = np.arange(-4, 5, dtype=np.float64)
+        kx = np.exp(-xs ** 2 / (2 * 9.0))
+        ky = np.exp(-xs ** 2 / (2 * 1.0))
+        factory = lambda: S.deblurring2d_op(ky / ky.sum(), kx / kx.sum(),
+                                            h, w)
+    elif args.deg in ("sr_conv2", "sr_conv4"):
+        r = int(args.deg[-1])
+        xs = np.arange(-4, 5, dtype=np.float64)
+        k = np.exp(-xs ** 2 / (2 * (r / 2) ** 2))
+        factory = lambda k=k, r=r: S.sr_conv_op(k, h, w, r)
+    elif args.deg == "cs_wh":
+        factory = lambda: S.walsh_hadamard_cs_op(h, w, ratio=4,
+                                                 seed=args.seed)
+    elif args.deg == "denoising":
+        factory = lambda: S.denoising_op()
     else:
         k = np.array([0.06136, 0.24477, 0.38774, 0.24477, 0.06136])
         factory = lambda k=k: S.deblurring_op(k, h, w)

@@ -38,6 +38,9 @@ class PipelineConfig:
     #            when no POCO checkpoint is available)
     geo_from: str = "POCO"
     poco_checkpoint: Optional[str] = None
+    # reference network_decoder config key (generate.py:305); variants in
+    # models/occupancy/alt.DECODERS
+    network_decoder: str = "InterpAttentionKHeadsNet"
     grid_res: int = 128           # reference models/POCO/generate_1.py:48
     target_face_num: int = 10000  # reference models/POCO/generate_1.py:49
     smooth_mesh: bool = False

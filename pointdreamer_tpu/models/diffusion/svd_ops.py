@@ -173,6 +173,153 @@ def compressed_sensing_op(h: int, w: int, ratio: float = 0.25,
                       singulars=jnp.asarray(s)[None, None, None, None, :])
 
 
+def denoising_op() -> SpectralOp:
+    """Identity degradation (svd_operators.py:442): pure denoising."""
+    return SpectralOp(to_spec=lambda x: x, from_spec=lambda x: x,
+                      singulars=jnp.ones((1, 1, 1), jnp.float32))
+
+
+def _conv1d_matrix(k: np.ndarray, n: int) -> np.ndarray:
+    """Dense 1D convolution matrix with zero boundary (svd_operators.py:934
+    Deblurring builds the same band matrix)."""
+    M = np.zeros((n, n))
+    half = len(k) // 2
+    for i in range(n):
+        for j, kv in enumerate(k):
+            col = i + j - half
+            if 0 <= col < n:
+                M[i, col] += kv
+    return M
+
+
+def _separable_spectral(M1: np.ndarray, M2: np.ndarray,
+                        zero_thresh: float) -> SpectralOp:
+    """SpectralOp for A = M1 (x) M2 acting on [B,H,W,C] images: SVD each
+    1D factor, singulars are the outer product (Kronecker SVD), V-space
+    maps are two small matmuls per side."""
+    U1, S1, V1h = np.linalg.svd(M1, full_matrices=True)
+    U2, S2, V2h = np.linalg.svd(M2, full_matrices=True)
+    V1 = jnp.asarray(V1h.T, jnp.float32)
+    V2 = jnp.asarray(V2h.T, jnp.float32)
+    s1 = np.zeros(M1.shape[1]);  s1[:len(S1)] = S1
+    s2 = np.zeros(M2.shape[1]);  s2[:len(S2)] = S2
+    s = jnp.asarray(np.outer(s1, s2), jnp.float32)[None, :, :, None]
+    s = jnp.where(s > zero_thresh, s, 0.0)
+
+    def to_spec(x):
+        y = jnp.einsum("ih,bhwc->biwc", V1.T, x)
+        return jnp.einsum("jw,biwc->bijc", V2.T, y)
+
+    def from_spec(z):
+        y = jnp.einsum("hi,bijc->bhjc", V1, z)
+        return jnp.einsum("wj,bhjc->bhwc", V2, y)
+
+    return SpectralOp(to_spec=to_spec, from_spec=from_spec, singulars=s)
+
+
+def deblurring2d_op(kernel_y: np.ndarray, kernel_x: np.ndarray,
+                    h: int, w: int) -> SpectralOp:
+    """Anisotropic separable blur, different kernels per axis
+    (svd_operators.py:1094 Deblurring2D)."""
+    return _separable_spectral(
+        _conv1d_matrix(np.asarray(kernel_y, np.float64), h),
+        _conv1d_matrix(np.asarray(kernel_x, np.float64), w),
+        zero_thresh=2e-2)
+
+
+def sr_conv_op(kernel1d: np.ndarray, h: int, w: int,
+               ratio: int) -> SpectralOp:
+    """Downsampling by strided convolution with reflective padding
+    (svd_operators.py:851 SRConv): the 1D factor is the [n/r, n]
+    stride-r convolution matrix; its full SVD gives an [n, n] V whose
+    trailing n - n/r singulars are zero."""
+    k = np.asarray(kernel1d, np.float64)
+    k = k / k.sum()
+
+    def sr_matrix(n):
+        m = np.zeros((n // ratio, n))
+        half = len(k) // 2
+        for i in range(ratio // 2, n + ratio // 2, ratio):
+            for j in range(i - half, i - half + len(k)):
+                jj = j
+                if jj < 0:
+                    jj = -jj - 1                      # reflect low
+                if jj >= n:
+                    jj = (n - 1) - (jj - n)           # reflect high
+                m[i // ratio, jj] += k[j - i + half]
+        return m
+
+    return _separable_spectral(sr_matrix(h), sr_matrix(w),
+                               zero_thresh=3e-2)
+
+
+def _fwht(a: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal fast Walsh-Hadamard transform along the last axis
+    (self-inverse); length must be a power of two."""
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    h = 1
+    while h < n:
+        a = a.reshape(lead + (-1, 2, h))
+        a = jnp.concatenate([a[..., 0, :] + a[..., 1, :],
+                             a[..., 0, :] - a[..., 1, :]], axis=-1)
+        a = a.reshape(lead + (n,))
+        h *= 2
+    return a / np.sqrt(n)
+
+
+def walsh_hadamard_cs_op(h: int, w: int, ratio: int = 4,
+                         seed: int = 0) -> SpectralOp:
+    """Walsh-Hadamard compressed sensing (svd_operators.py:211): keep the
+    first n/ratio coefficients of a randomly permuted Hadamard transform
+    of each channel plane.  V = WHT . perm (orthonormal, self-inverse up
+    to the permutation), singulars 1 on kept components."""
+    n = h * w
+    assert n & (n - 1) == 0, "image pixel count must be a power of two"
+    rng = np.random.default_rng(seed)
+    perm = jnp.asarray(rng.permutation(n), jnp.int32)
+    inv_perm = jnp.asarray(np.argsort(np.asarray(perm)), jnp.int32)
+    keep = n // ratio
+    s = jnp.asarray(
+        (np.arange(n) < keep).astype(np.float32)).reshape(1, h, w, 1)
+
+    def to_spec(x):  # V^T x = perm-gather of WHT(x)
+        b, _, _, c = x.shape
+        flat = x.transpose(0, 3, 1, 2).reshape(b, c, n)
+        z = _fwht(flat)[:, :, perm]
+        return z.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+    def from_spec(z):  # V z = WHT(scatter back through perm)
+        b, _, _, c = z.shape
+        flat = z.transpose(0, 3, 1, 2).reshape(b, c, n)
+        x = _fwht(flat[:, :, inv_perm])
+        return x.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+    return SpectralOp(to_spec=to_spec, from_spec=from_spec, singulars=s)
+
+
+def general_a_op(A: np.ndarray, h: int, w: int, c: int = 3) -> SpectralOp:
+    """Arbitrary dense degradation matrix A [m, h*w*c]
+    (svd_operators.py:173 GeneralA): full SVD, zero-thresholded
+    singulars, V-space maps are dense matmuls over the flattened image."""
+    _, S, Vh = np.linalg.svd(np.asarray(A, np.float64), full_matrices=True)
+    n = A.shape[1]
+    assert n == h * w * c
+    s = np.zeros(n, np.float32)
+    S[S < 1e-3] = 0
+    s[:len(S)] = S
+    V = jnp.asarray(Vh.T, jnp.float32)
+
+    def to_spec(x):
+        return (x.reshape(x.shape[0], n) @ V).reshape(x.shape)
+
+    def from_spec(z):
+        return (z.reshape(z.shape[0], n) @ V.T).reshape(z.shape)
+
+    return SpectralOp(to_spec=to_spec, from_spec=from_spec,
+                      singulars=jnp.asarray(s).reshape(1, h, w, c))
+
+
 def measure_spec(op: SpectralOp, x: jnp.ndarray) -> jnp.ndarray:
     """y_spec = S^+ U^T A x  ==  components of x observed through A,
     expressed in V-space (what the DDNM consistency step needs)."""

@@ -11,20 +11,23 @@ from .network import encode_latents, make_poco_field, query_occupancy
 from .spatial import compute_spatial, farthest_point_sampling
 
 
-def load_poco_field(checkpoint_path: str, logger=None):
+def load_poco_field(checkpoint_path: str, logger=None,
+                    decoder: str = "InterpAttentionKHeadsNet"):
     """Returns a factory points -> field_fn for pipeline.geometry.
 
-    Reference: create_POCO_network (generate_1.py:54-68)."""
+    Reference: create_POCO_network (generate_1.py:54-68); `decoder`
+    mirrors the network_decoder config key (generate.py:305)."""
     import jax
 
     if logger:
-        logger.info(f"Loading POCO checkpoint {checkpoint_path}")
+        logger.info(f"Loading POCO checkpoint {checkpoint_path} "
+                    f"(decoder={decoder})")
     params = load_torch_checkpoint(checkpoint_path)
     import jax.numpy as jnp
 
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     def factory(points):
-        return make_poco_field(params, points)
+        return make_poco_field(params, points, decoder=decoder)
 
     return factory

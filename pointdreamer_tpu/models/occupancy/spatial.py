@@ -40,19 +40,73 @@ def farthest_point_sampling(points: jnp.ndarray, n_support: int) -> jnp.ndarray:
     return idx
 
 
+def quantized_sampling(points, n_support: int, seed: int = 0):
+    """Host-side port of the reference's quantized-voxel sampling
+    (lightconvpoint sampling_quantized.py:10-75): random rotation, voxel
+    clustering at size bbox_diag/sqrt(n), one point per occupied voxel,
+    repeated on the remainder until n_support points are picked.  Used by
+    tests to demonstrate occupancy-output equivalence with the FPS
+    default (SURVEY §7 hard-part 6); FPS stays the production sampler
+    (deterministic, fixed-shape, device-side)."""
+    import numpy as np
+
+    pts_all = np.asarray(points)
+    n = pts_all.shape[0]
+    if n_support >= n:
+        return jnp.arange(n, dtype=jnp.int32)
+    rng = np.random.default_rng(seed)
+    diag = np.linalg.norm(pts_all.max(0) - pts_all.min(0))
+    vox = diag / np.sqrt(n_support)
+    ids = np.arange(n)
+    pts = pts_all
+    sampled = []
+    count = 0
+    while True:
+        angs = rng.uniform(-np.pi, np.pi, 3)
+        rots = []
+        for ax, a in enumerate(angs):
+            c, s = np.cos(a), np.sin(a)
+            m = np.eye(3)
+            i, j = [(1, 2), (0, 2), (0, 1)][ax]
+            m[i, i] = c; m[i, j] = -s; m[j, i] = s; m[j, j] = c
+            rots.append(m)
+        r = rots[2] @ rots[1] @ rots[0]
+        rp = pts @ r.T
+        keys = np.floor((rp - rp.min(0)) / vox).astype(np.int64)
+        flat = (keys[:, 0] * 73856093 ^ keys[:, 1] * 19349663
+                ^ keys[:, 2] * 83492791)
+        _, perm = np.unique(flat, return_index=True)
+        if count + len(perm) < n_support:
+            sampled.append(ids[perm])
+            count += len(perm)
+            keep = np.ones(len(ids), bool)
+            keep[perm] = False
+            ids = ids[keep]
+            pts = pts[keep]
+        else:
+            pick = rng.permutation(len(perm))[: n_support - count]
+            sampled.append(ids[perm[pick]])
+            break
+    return jnp.asarray(np.concatenate(sampled), jnp.int32)
+
+
 def compute_spatial(pos: jnp.ndarray, decoder_queries: jnp.ndarray = None,
-                    decoder_k: int = 64) -> Dict[str, jnp.ndarray]:
+                    decoder_k: int = 64,
+                    sampler=None) -> Dict[str, jnp.ndarray]:
     """pos [N,3] -> dict matching the reference's spatial keys:
-    support1..4, ids00..ids44, ids43..ids10 (+ proj_indices if queries)."""
+    support1..4, ids00..ids44, ids43..ids10 (+ proj_indices if queries).
+    `sampler`: (points, m) -> indices; defaults to FPS."""
     n = pos.shape[0]
     sizes = [max(1, -(-n // 4)), ]
     for _ in range(3):
         sizes.append(max(1, -(-sizes[-1] // 4)))
+    if sampler is None:
+        sampler = farthest_point_sampling
 
     out = {"pos": pos}
     supports = [pos]
     for lvl, m in enumerate(sizes, start=1):
-        idx = farthest_point_sampling(supports[-1], m)
+        idx = sampler(supports[-1], m)
         sup = supports[-1][idx]
         out[f"support{lvl}"] = sup
         supports.append(sup)

@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # --------------------------------------------------------------------------
@@ -74,6 +75,57 @@ def dilate(binary: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
         window_strides=(1,) * x.ndim,
         padding="valid",
     )
+
+
+def erode(binary: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Binary/grayscale erosion by a square kernel (dual of `dilate`)."""
+    if kernel_size <= 1:
+        return binary.astype(jnp.float32)
+    return 1.0 - dilate(1.0 - binary.astype(jnp.float32), kernel_size)
+
+
+def morph_close(binary: jnp.ndarray, kernel_size: int = 7) -> jnp.ndarray:
+    """Morphological closing (dilate then erode) — closes small holes in
+    a binary mask, the reference's fill_hole (utils_2d.py:509
+    cv2.morphologyEx MORPH_CLOSE, kernel_size 7)."""
+    return erode(dilate(binary, kernel_size), kernel_size)
+
+
+def bilateral_filter(img: jnp.ndarray, ksize: int,
+                     sigma_color: float | None = None,
+                     sigma_space: float | None = None) -> jnp.ndarray:
+    """Edge-preserving bilateral filter (reference bilateralFilter,
+    utils_2d.py:757: torch unfold implementation with
+    sigma_space = 0.15*ksize + 0.35 and sigma_color = sigma_space by
+    default).  img [..., H, W, C] in [0, 1]; vectorized over the
+    ksize^2 window offsets (no unfold materialization: each offset is a
+    shifted view, so HBM traffic stays O(k^2 HWC) streamed, not stored).
+    """
+    if sigma_space is None:
+        sigma_space = 0.15 * ksize + 0.35
+    if sigma_color is None:
+        sigma_color = sigma_space
+    pad = (ksize - 1) // 2
+    x = img.astype(jnp.float32)
+    xp = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)],
+        mode="reflect")
+    h, w = x.shape[-3], x.shape[-2]
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x)
+    inv2s = 1.0 / (2.0 * sigma_space ** 2)
+    inv2c = 1.0 / (2.0 * sigma_color ** 2)
+    for dy in range(ksize):
+        for dx in range(ksize):
+            nb = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(xp, dy, dy + h, axis=-3),
+                dx, dx + w, axis=-2)
+            ws = np.exp(-((dy - pad) ** 2 + (dx - pad) ** 2) * inv2s)
+            wc = jnp.exp(-((nb - x) ** 2) * inv2c)
+            wgt = ws * wc
+            num = num + wgt * nb
+            den = den + wgt
+    return num / jnp.maximum(den, 1e-12)
 
 
 def inner_edge_mask(foreground: jnp.ndarray) -> jnp.ndarray:

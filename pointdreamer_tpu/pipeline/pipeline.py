@@ -99,7 +99,8 @@ class Pipeline:
         if cfg.geo_from == "POCO" and cfg.poco_checkpoint:
             from ..models.occupancy import load_poco_field
 
-            poco_apply = load_poco_field(cfg.poco_checkpoint, logger)
+            poco_apply = load_poco_field(cfg.poco_checkpoint, logger,
+                                         decoder=cfg.network_decoder)
         return cls(cfg=cfg, rig=rig, inpainter=inpainter,
                    poco_apply=poco_apply, logger=logger)
 

@@ -141,3 +141,76 @@ def test_confusion_metrics():
     labels = np.array([[1, 0, 0, 1]])
     m = ptrain.confusion_metrics(logits, labels)
     assert abs(m["OA"] - 0.5) < 1e-6
+
+
+def test_fps_vs_quantized_sampling_occupancy_equivalence(rng):
+    """SURVEY §7 hard-part 6: replacing the reference's quantized-voxel
+    sampler with FPS must not change the occupancy field materially.  Same
+    network weights, same cloud; only the support pyramids differ.  The
+    fields must correlate strongly and agree in sign almost everywhere."""
+    from pointdreamer_tpu.models.occupancy.fkaconv import (
+        backbone_forward, decoder_forward, occupancy_field)
+    from pointdreamer_tpu.models.occupancy.spatial import quantized_sampling
+    from pointdreamer_tpu.ops.knn import knn
+
+    # a sphere-ish cloud (structured geometry, not pure noise)
+    d = rng.standard_normal((600, 3)).astype(np.float32)
+    pts = jnp.asarray(0.4 * d / np.linalg.norm(d, axis=1, keepdims=True))
+    params = init_params(seed=0)
+    x = jnp.ones_like(pts)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (400, 3)).astype(np.float32))
+
+    def field_with(sampler):
+        sp = compute_spatial(pts, sampler=sampler)
+        lat = backbone_forward(params["net"], x, sp, train=False)
+        _, proj = knn(q, pts, 64)
+        logits = decoder_forward(params["projection"], lat, pts, q, proj)
+        return np.asarray(occupancy_field(logits))
+
+    f_fps = field_with(None)
+    f_qnt = field_with(lambda p, m: quantized_sampling(p, m, seed=3))
+    corr = np.corrcoef(f_fps, f_qnt)[0, 1]
+    sign_agree = (np.sign(f_fps) == np.sign(f_qnt)).mean()
+    assert corr > 0.95, corr
+    assert sign_agree > 0.93, sign_agree
+
+
+def test_chunked_latents_cover_and_agree(rng):
+    """Big-cloud chunked-neighborhood latent path (generate_1.py:119-156),
+    exercised at miniature scale: every point covered >= cover times, and
+    the occupancy field built from chunked latents stays close to the
+    all-at-once encode."""
+    from pointdreamer_tpu.models.occupancy.network import (
+        encode_latents_chunked)
+
+    d = rng.standard_normal((900, 3)).astype(np.float32)
+    pts = jnp.asarray(0.4 * d / np.linalg.norm(d, axis=1, keepdims=True))
+    params = init_params(seed=0)
+
+    lat_chunked = encode_latents_chunked(params, pts, chunk=500, cover=2)
+    assert lat_chunked.shape[0] == 900
+    assert np.isfinite(np.asarray(lat_chunked)).all()
+
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (200, 3)).astype(np.float32))
+    f_chunked = np.asarray(query_occupancy(params, lat_chunked, pts, q))
+    from pointdreamer_tpu.models.occupancy.fkaconv import (
+        backbone_forward, decoder_forward, occupancy_field)
+    from pointdreamer_tpu.ops.knn import knn as _knn
+
+    sp = compute_spatial(pts)
+    lat_full = backbone_forward(params["net"], jnp.ones_like(pts), sp,
+                                train=False)
+    _, proj = _knn(q, pts, 64)
+    f_full = np.asarray(occupancy_field(
+        decoder_forward(params["projection"], lat_full, pts, q, proj)))
+    assert np.corrcoef(f_chunked, f_full)[0, 1] > 0.9
+
+
+def test_autoscale_factor():
+    from pointdreamer_tpu.models.occupancy.network import autoscale_factor
+
+    # a regular grid with spacing 0.02 -> scale = 0.01/0.02 = 0.5
+    g = np.stack(np.meshgrid(*[np.arange(8) * 0.02] * 3,
+                             indexing="ij"), -1).reshape(-1, 3)
+    s = autoscale_factor(g.astype(np.float32))
+    assert abs(s - 0.5) < 0.05, s

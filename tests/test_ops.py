@@ -261,3 +261,74 @@ def test_hidden_point_removal_sphere():
     back = pts[:, 2] > 0.2
     assert vis[0, front].mean() > 0.7
     assert vis[0, back].mean() < 0.1
+
+
+def test_pullpush_close_to_scipy_linear(rng):
+    """'linear' inpainting quality bound: on a smooth field sampled at
+    scattered pixels, pull-push (ours) must reconstruct the field with
+    error comparable to scipy griddata(method='linear') — the reference's
+    naive_inpainting path (ours_utils.py:639).  Pull-push is not Delaunay
+    interpolation, so the contract is quantitative closeness to the true
+    field, not pixel equality with scipy."""
+    from scipy.interpolate import griddata
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    field = np.stack([
+        np.sin(xx / 9.0) * np.cos(yy / 7.0),
+        (xx + yy) / (h + w),
+        np.cos(xx / 5.0) * 0.5,
+    ], -1).astype(np.float32)
+    valid = rng.random((h, w)) < 0.10
+    # pin corners so scipy's convex hull covers the frame
+    valid[0, 0] = valid[0, -1] = valid[-1, 0] = valid[-1, -1] = True
+
+    vals = np.where(valid[..., None], field, 0.0).astype(np.float32)
+    ours = np.asarray(oimg.pullpush_fill(jnp.asarray(vals),
+                                         jnp.asarray(valid)))
+
+    pts = np.stack([yy[valid], xx[valid]], 1)
+    ref = griddata(pts, field[valid], (yy, xx), method="linear")
+
+    hole = ~valid
+    err_ours = np.sqrt(((ours - field) ** 2).mean(-1))[hole]
+    err_ref = np.sqrt(((ref - field) ** 2).mean(-1))[hole]
+    # absolute quality on the smooth field...
+    assert err_ours.mean() < 0.05, err_ours.mean()
+    # ...and within a modest factor of Delaunay-linear interpolation
+    assert err_ours.mean() < 3.0 * err_ref.mean() + 1e-3, (
+        err_ours.mean(), err_ref.mean())
+
+
+def test_morph_close_fills_small_holes():
+    """fill_hole parity (utils_2d.py:509): closing removes holes smaller
+    than the kernel but preserves the outer silhouette."""
+    m = np.zeros((40, 40), np.float32)
+    m[8:32, 8:32] = 1.0
+    m[18:21, 18:21] = 0.0          # 3x3 hole -> closed by k=7
+    out = np.asarray(oimg.morph_close(jnp.asarray(m), 7))
+    assert out[19, 19] == 1.0
+    assert out[4, 4] == 0.0
+    assert out[8:32, 8:32].min() == 1.0
+    np.testing.assert_array_equal(out >= 0.5, oimg_close_ref(m, 7) >= 0.5)
+
+
+def oimg_close_ref(m, k):
+    from scipy import ndimage
+
+    return ndimage.grey_closing(m, size=(k, k), mode="reflect")
+
+
+def test_bilateral_filter_edge_preserving(rng):
+    """Bilateral parity (utils_2d.py:757): smooths noise in flat regions
+    but keeps a sharp step edge."""
+    h = w = 32
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, w // 2:] = 1.0
+    noisy = img + rng.normal(0, 0.05, img.shape).astype(np.float32)
+    out = np.asarray(oimg.bilateral_filter(jnp.asarray(noisy), 7))
+    # noise reduced on each flat side
+    assert out[:, :w // 2 - 4].std() < noisy[:, :w // 2 - 4].std() * 0.6
+    # edge not smeared: means on both sides stay far apart
+    assert out[:, :w // 2 - 2].mean() < 0.1
+    assert out[:, w // 2 + 2:].mean() > 0.9

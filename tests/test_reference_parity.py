@@ -217,3 +217,155 @@ def test_full_backbone_matches_reference_torch():
     got = np.asarray(backbone_forward(
         params, jnp.ones((200, 3)), sp, train=False))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+
+ALT_DECODER_CASES = [
+    ("InterpAttentionNet", "networks.decoder.interp_attention"),
+    ("InterpMeanNet", "networks.decoder.interp_mean"),
+    ("InterpMaxNet", "networks.decoder.interp_max"),
+    ("InterpInvDistNet", "networks.decoder.interp_inv_dist"),
+    ("InterpMeanPrefixNet", "networks.decoder.interp_mean_prefix"),
+    ("InterpInvDistPrefixNet", "networks.decoder.interp_inv_dist_prefix"),
+]
+
+
+@pytest.mark.parametrize("name,module", ALT_DECODER_CASES)
+def test_alt_decoders_match_reference_torch(name, module):
+    """Every alternative network_decoder variant, through its converter,
+    against the actual reference torch module."""
+    _stub_torch_geometric()
+    sys.path.insert(0, REF + "/models/POCO")
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.models.occupancy.alt import (
+        DECODERS, convert_decoder_state_dict)
+
+    TorchDec = getattr(importlib.import_module(module), name)
+    torch.manual_seed(1)
+    td = TorchDec(32, 2, K=16).eval()
+    sd = {k: v.detach().numpy() for k, v in td.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_decoder_state_dict(sd, name))
+
+    rng = np.random.default_rng(4)
+    N, Q, k = 50, 12, 16
+    pos = rng.standard_normal((N, 3)).astype(np.float32)
+    latents = rng.standard_normal((N, 32)).astype(np.float32)
+    queries = rng.standard_normal((Q, 3)).astype(np.float32)
+    ids = rng.integers(0, N, (Q, k))
+
+    data = {
+        "latents": torch.from_numpy(latents.T[None]),
+        "proj_indices": torch.from_numpy(ids[None]),
+        "pos": torch.from_numpy(pos.T[None]),
+        "pos_non_manifold": torch.from_numpy(queries.T[None]),
+    }
+    with torch.no_grad():
+        want = td(data, spectral_only=True)[0].numpy().T   # [Q, 2]
+    got = np.asarray(DECODERS[name](params, jnp.asarray(latents),
+                                    jnp.asarray(pos), jnp.asarray(queries),
+                                    jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_pointnet_backbone_matches_reference_torch():
+    """PointNet segmentation backbone (networks/backbone/pointnet.py)
+    through convert_pointnet_state_dict."""
+    _stub_torch_geometric()
+    sys.path.insert(0, REF + "/models/POCO")
+    from networks.backbone.pointnet import PointNet
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.models.occupancy.alt import (
+        convert_pointnet_state_dict, pointnet_forward)
+
+    torch.manual_seed(2)
+    tb = PointNet(3, 32, hidden_dim=64, segmentation=True).eval()
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_pointnet_state_dict(sd))
+
+    rng = np.random.default_rng(5)
+    N = 70
+    pos = rng.standard_normal((N, 3)).astype(np.float32)
+    x = np.ones((N, 3), np.float32)
+
+    data = {"x": torch.from_numpy(x.T[None]),
+            "pos": torch.from_numpy(pos.T[None])}
+    with torch.no_grad():
+        want = tb(data, spectral_only=True)[0].numpy().T   # [N, 32]
+    got = np.asarray(pointnet_forward(params, jnp.asarray(x),
+                                      {"pos": jnp.asarray(pos)}))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_ddpm_simple_unet_matches_reference_torch():
+    """The DDPM 'simple' UNet (guided_diffusion/models.py Model) used by
+    DDNM's CelebA/LSUN checkpoints, at a miniature plan."""
+    sys.path.insert(0, REF + "/models/DDNM")
+    from guided_diffusion.models import Model as TorchModel
+
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.models.diffusion.ddpm_unet import (
+        DDPMPlan, convert_ddpm_state_dict, ddpm_unet_forward)
+
+    class NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    cfg = NS(
+        model=NS(ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=2,
+                 attn_resolutions=[8], dropout=0.0, in_channels=3,
+                 resamp_with_conv=True, type="simple"),
+        data=NS(image_size=16),
+        diffusion=NS(num_diffusion_timesteps=1000),
+    )
+    torch.manual_seed(0)
+    tm = TorchModel(cfg).eval()
+    plan = DDPMPlan(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=2,
+                    attn_resolutions=(8,), in_channels=3, resolution=16,
+                    resamp_with_conv=True)
+    params = convert_ddpm_state_dict(tm.state_dict())
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    t = np.array([3.0, 555.0], np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                  torch.from_numpy(t)).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(ddpm_unet_forward(plan, params, jnp.asarray(x),
+                                       jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_ddpm_init_params_key_parity():
+    """init_ddpm_params must produce exactly the torch key set (so shape
+    bugs surface offline, without a checkpoint)."""
+    sys.path.insert(0, REF + "/models/DDNM")
+    from guided_diffusion.models import Model as TorchModel
+
+    from pointdreamer_tpu.models.diffusion.ddpm_unet import (
+        DDPMPlan, init_ddpm_params)
+
+    class NS:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    cfg = NS(
+        model=NS(ch=32, out_ch=3, ch_mult=[1, 2, 2], num_res_blocks=1,
+                 attn_resolutions=[8], dropout=0.0, in_channels=3,
+                 resamp_with_conv=True, type="simple"),
+        data=NS(image_size=32),
+        diffusion=NS(num_diffusion_timesteps=1000),
+    )
+    tm = TorchModel(cfg)
+    plan = DDPMPlan(ch=32, out_ch=3, ch_mult=(1, 2, 2), num_res_blocks=1,
+                    attn_resolutions=(8,), in_channels=3, resolution=32)
+    ours = init_ddpm_params(plan, seed=1)
+    assert set(ours) == set(tm.state_dict().keys())
