@@ -65,6 +65,9 @@ class PipelineConfig:
     res: int = 256
     point_size: int = 1
     edge_point_size: int = 1
+    # reject HPR-rescued points more than this far behind the rasterized
+    # surface (0 = the reference's plain logical_or, demo.py:110)
+    hpr_depth_guard: float = 0.03
 
     # ---- visibility ------------------------------------------------------
     point_validation_by_o3d: bool = True   # spherical-flip hidden point removal

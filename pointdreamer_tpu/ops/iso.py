@@ -111,8 +111,11 @@ def _emit_triangles_bucket(values, axis_coords, cells, res):
 
     offs = jnp.asarray(CUBE_OFFSETS)                              # [8,3]
     corner_ijk = base[:, None, :] + offs[None, :, :]              # [A,8,3]
+    # int32 corner ids (device x64 is disabled; the full edge key
+    # lo*res^3+hi overflows int32 for res >= 48, so lo/hi stay separate
+    # here and the int64 key is assembled on host)
     gid = ((corner_ijk[..., 0] * res + corner_ijk[..., 1]) * res
-           + corner_ijk[..., 2]).astype(jnp.int64)                # [A,8]
+           + corner_ijk[..., 2]).astype(jnp.int32)                # [A,8]
     val = values[corner_ijk[..., 0], corner_ijk[..., 1], corner_ijk[..., 2]]
     pos = axis_coords[corner_ijk]                                 # [A,8,3]
 
@@ -146,9 +149,8 @@ def _emit_triangles_bucket(values, axis_coords, cells, res):
     t = jnp.clip(t, 0.0, 1.0)[..., None]
     vpos = a_pos + t * (b_pos - a_pos)                            # [A,6,2,3,3]
 
-    lo = jnp.minimum(a_gid, b_gid)
+    lo = jnp.minimum(a_gid, b_gid)                                # [A,6,2,3]
     hi = jnp.maximum(a_gid, b_gid)
-    ekey = lo * (res * res * res) + hi                            # [A,6,2,3]
 
     # orient: normal should point inside -> outside
     e1 = vpos[..., 1, :] - vpos[..., 0, :]
@@ -166,25 +168,29 @@ def _emit_triangles_bucket(values, axis_coords, cells, res):
     v1 = jnp.where(flip[..., None], vpos[..., 2, :], vpos[..., 1, :])
     v2 = jnp.where(flip[..., None], vpos[..., 1, :], vpos[..., 2, :])
     vpos = jnp.stack([vpos[..., 0, :], v1, v2], axis=-2)
-    k1 = jnp.where(flip, ekey[..., 2], ekey[..., 1])
-    k2 = jnp.where(flip, ekey[..., 1], ekey[..., 2])
-    ekey = jnp.stack([ekey[..., 0], k1, k2], axis=-1)
 
-    return vpos, ekey, tri_valid
+    def swap_last(k):
+        k1 = jnp.where(flip, k[..., 2], k[..., 1])
+        k2 = jnp.where(flip, k[..., 1], k[..., 2])
+        return jnp.stack([k[..., 0], k1, k2], axis=-1)
+
+    return vpos, swap_last(lo), swap_last(hi), tri_valid
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
-def _gather_valid(vpos, ekey, valid, size: int):
+def _gather_valid(vpos, eklo, ekhi, valid, size: int):
     """Compact valid triangles to the front (device-side): returns
-    ([size,3,3] positions, [size,3] keys); entries beyond the true count
-    are garbage — callers slice by the count.  Stable argsort on !valid
-    moves valid entries to the front in order (jnp.nonzero's sized
-    lowering costs a ~50 s XLA compile per shape; the sort compiles in
-    milliseconds and runs in ~1 ms at 300k entries)."""
+    ([size,3,3] positions, [size,3] lo ids, [size,3] hi ids); entries
+    beyond the true count are garbage — callers slice by the count.
+    Stable argsort on !valid moves valid entries to the front in order
+    (jnp.nonzero's sized lowering costs a ~50 s XLA compile per shape;
+    the sort compiles in milliseconds and runs in ~1 ms at 300k
+    entries)."""
     flat_v = valid.reshape(-1)
     order = jnp.argsort(jnp.logical_not(flat_v), stable=True)
     tid = order[:size]
-    return (vpos.reshape(-1, 3, 3)[tid], ekey.reshape(-1, 3)[tid])
+    return (vpos.reshape(-1, 3, 3)[tid], eklo.reshape(-1, 3)[tid],
+            ekhi.reshape(-1, 3)[tid])
 
 
 def marching_tets(values: np.ndarray, axis: np.ndarray,
@@ -211,16 +217,22 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
     pad = (-len(cells)) % bucket
     cells_p = np.concatenate([cells, -np.ones(pad, np.int32)])
 
-    vpos, ekey, valid = _emit_triangles(
+    vpos, eklo, ekhi, valid = _emit_triangles(
         vals_j, jnp.asarray(axis, jnp.float32), jnp.asarray(cells_p), res)
     # compact ON DEVICE before the host transfer: the raw [A,6,2,...]
     # buffers are ~20 MB (dominated pipeline cost through the tunneled
     # TPU); the valid triangles are ~1 MB
     count = int(valid.sum())
     size = max(bucket, -(-count // bucket) * bucket)
-    tri_pos_d, tri_key_d = _gather_valid(vpos, ekey, valid, size)
+    tri_pos_d, tri_lo_d, tri_hi_d = _gather_valid(vpos, eklo, ekhi,
+                                                  valid, size)
     tri_pos = np.asarray(tri_pos_d)[:count]          # [T,3,3]
-    tri_key = np.asarray(tri_key_d)[:count]          # [T,3]
+    # int64 edge key assembled on HOST: the device runs with x64 disabled
+    # and lo*res^3+hi overflows int32 for res >= 48 (key collisions weld
+    # random vertex pairs and break refine_vertices_bisection's decode)
+    r3 = np.int64(res) * res * res
+    tri_key = (np.asarray(tri_lo_d)[:count].astype(np.int64) * r3
+               + np.asarray(tri_hi_d)[:count])       # [T,3]
 
     flat_keys = tri_key.reshape(-1)
     uniq, inv = np.unique(flat_keys, return_inverse=True)

@@ -203,7 +203,7 @@ class Pipeline:
             if cfg.point_validation_by_o3d:
                 proj = pproject.add_hpr_visibility(
                     proj, xyz_n, self.rig, cfg.hidden_point_removal_radius,
-                    n_total=len(xyz_p))
+                    n_total=len(xyz_p), depth_guard=cfg.hpr_depth_guard)
             if cfg.refine_point_validation_by_remove_abnormal_depth:
                 proj = pproject.refine_point_validation(
                     proj, cfg.refine_res)

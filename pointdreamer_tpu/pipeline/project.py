@@ -101,17 +101,36 @@ def project_views(
 
 def add_hpr_visibility(proj: ProjectionData, points_np: np.ndarray,
                        rig: CameraRig, radius: float = 100.0,
-                       n_total: int = None) -> ProjectionData:
+                       n_total: int = None,
+                       depth_guard: float = 0.03) -> ProjectionData:
     """OR-in hidden-point-removal visibility (host convex hull), like the
     reference's point_validation_by_o3d option (demo.py:107-112).
-    `n_total` pads the result when the device arrays are bucketed."""
+    `n_total` pads the result when the device arrays are bucketed.
+
+    `depth_guard` tightens the reference's plain logical_or
+    (demo.py:110): HPR through a convex hull lets a few percent of
+    clearly-occluded points through (they then splat back-surface colors
+    into the view), so HPR rescues are only accepted where the point is
+    not more than `depth_guard` behind the rasterized mesh depth at its
+    pixel.  Silhouette/hole pixels (mesh depth = inf) still pass — those
+    are the points the OR exists to rescue.  Set 0 to reproduce the
+    reference's exact behavior."""
     hpr = osplat.hidden_point_removal_visibility(
         points_np, np.asarray(rig.eyes), radius)
     if n_total is not None and n_total > hpr.shape[1]:
         pad = np.zeros((hpr.shape[0], n_total - hpr.shape[1]), bool)
         hpr = np.concatenate([hpr, pad], axis=1)
-    return proj._replace(
-        point_validation=proj.point_validation | jnp.asarray(hpr))
+    hpr_j = jnp.asarray(hpr)
+    if depth_guard and depth_guard > 0:
+        cam_res = proj.mesh_depths.shape[-1]
+        pix = jnp.clip((proj.point_uvs * cam_res).astype(jnp.int32), 0,
+                       cam_res - 1)
+        md = jax.vmap(lambda m, p: m[p[:, 1], p[:, 0]])(
+            proj.mesh_depths, pix)                       # [V, N]
+        not_behind = (~jnp.isfinite(md)) | (
+            proj.point_depths <= md + depth_guard)
+        hpr_j = hpr_j & not_behind
+    return proj._replace(point_validation=proj.point_validation | hpr_j)
 
 
 @functools.partial(jax.jit, static_argnames=("refine_res",))

@@ -42,12 +42,40 @@ _PROJ = {
 }
 
 
+_DIRS6 = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                   [0, -1, 0], [0, 0, 1], [0, 0, -1]], dtype=np.float64)
+
+
 def _face_axis_labels(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     fv = vertices[faces]
     n = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
-    dirs = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
-                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], dtype=np.float64)
-    return np.argmax(n @ dirs.T, axis=1)
+    return np.argmax(n @ _DIRS6.T, axis=1)
+
+
+def _smooth_labels(faces: np.ndarray, labels: np.ndarray,
+                   unit_normals: np.ndarray, adj_pairs: np.ndarray,
+                   iters: int = 8, min_dot: float = 0.1) -> np.ndarray:
+    """Majority-vote label smoothing over the face-adjacency graph: noisy
+    per-face argmax labels fragment charts into confetti; a few sweeps
+    make them contiguous.  A face only adopts the neighborhood majority
+    when its own normal still projects positively (> min_dot) onto that
+    axis, so smoothing can never create box-projection fold-overs."""
+    lab = labels.copy()
+    nf = len(lab)
+    compat = unit_normals @ _DIRS6.T > min_dot          # [F,6]
+    for _ in range(iters):
+        votes = np.zeros((nf, 6))
+        np.add.at(votes, adj_pairs[:, 0], np.eye(6)[lab[adj_pairs[:, 1]]])
+        np.add.at(votes, adj_pairs[:, 1], np.eye(6)[lab[adj_pairs[:, 0]]])
+        votes[np.arange(nf), lab] += 1.5                # self weight
+        votes = np.where(compat, votes, -1.0)
+        new = votes.argmax(axis=1)
+        has = votes[np.arange(nf), new] > 0
+        new = np.where(has, new, lab)
+        if (new == lab).all():
+            break
+        lab = new
+    return lab
 
 
 class _UnionFind:
@@ -228,6 +256,31 @@ def _flatten_chart(pts3: np.ndarray, faces_local: np.ndarray,
     return uv
 
 
+def _label_components(faces: np.ndarray, fidx: np.ndarray,
+                      labels: np.ndarray) -> List[np.ndarray]:
+    """Connected components of the face subset `fidx`, where adjacency
+    requires shared edge AND equal axis label.  Returns global-index
+    arrays (the split-retry path of `unwrap`)."""
+    sub = faces[fidx]
+    m = len(fidx)
+    edges = np.concatenate([sub[:, [0, 1]], sub[:, [1, 2]],
+                            sub[:, [2, 0]]], axis=0)
+    ek = np.sort(edges, axis=1)
+    key = ek[:, 0] * (int(faces.max()) + 1) + ek[:, 1]
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    fo = np.tile(np.arange(m), 3)[order]
+    uf = _UnionFind(m)
+    same = np.nonzero(sk[1:] == sk[:-1])[0]
+    lab = labels[fidx]
+    for i in same:
+        a, b = fo[i], fo[i + 1]
+        if lab[a] == lab[b]:
+            uf.union(a, b)
+    roots = np.array([uf.find(i) for i in range(m)])
+    return [fidx[roots == r] for r in np.unique(roots)]
+
+
 # ---------------------------------------------------------------------------
 # bitmap packing (xatlas-style)
 # ---------------------------------------------------------------------------
@@ -356,7 +409,6 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray,
     vertices = np.asarray(vertices, np.float64)
     faces = np.asarray(faces, np.int64)
     nf = len(faces)
-    labels = _face_axis_labels(vertices, faces)
 
     # edge -> faces map for connectivity
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
@@ -366,10 +418,19 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray,
     order = np.argsort(ekey, kind="stable")
     sk = ekey[order]
     fid_of_edge = np.tile(np.arange(nf), 3)[order]
-    uf = _UnionFind(nf)
     same = np.nonzero(sk[1:] == sk[:-1])[0]
-    for i in same:
-        fa, fb = fid_of_edge[i], fid_of_edge[i + 1]
+    adj_pairs = np.stack([fid_of_edge[same], fid_of_edge[same + 1]], 1)
+
+    fv = vertices[faces]
+    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+    dirs = _DIRS6
+
+    labels = _smooth_labels(faces, _face_axis_labels(vertices, faces),
+                            fn, adj_pairs)
+    labels_smoothed = labels.copy()      # merge phases mutate `labels`
+    uf = _UnionFind(nf)
+    for fa, fb in adj_pairs:
         if labels[fa] == labels[fb]:
             uf.union(fa, fb)
     roots = np.array([uf.find(i) for i in range(nf)])
@@ -377,12 +438,6 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray,
     # merge tiny charts into an adjacent chart when every face still has
     # a positive projection onto the absorber's axis (fewer seams ->
     # fewer NBF-masked border texels and less gutter waste)
-    fv = vertices[faces]
-    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
-    fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
-    dirs = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
-                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], dtype=np.float64)
-    adj_pairs = np.stack([fid_of_edge[same], fid_of_edge[same + 1]], 1)
     for _ in range(4):
         ids, counts = np.unique(roots, return_counts=True)
         size_of = dict(zip(ids, counts))
@@ -442,21 +497,58 @@ def unwrap(vertices: np.ndarray, faces: np.ndarray,
     chart_ids, chart_of_face = np.unique(roots, return_inverse=True)
     n_charts = len(chart_ids)
 
-    # flatten every chart (LSCM, box-projection fallback)
+    # flatten every chart (LSCM, box-projection fallback).  A chart whose
+    # flattening folds over (>2% flipped faces — merged charts spanning
+    # several orientations neither LSCM nor a single box projection can
+    # flatten) is SPLIT back into per-axis-label connected components,
+    # each box-projected along its own dominant axis, which cannot flip:
+    # every member face has positive normal projection onto that axis.
+    true_labels = labels_smoothed         # smoothed, merge-unpolluted
     face_uv_idx = np.zeros((nf, 3), np.int64)
     chart_uvs: List[np.ndarray] = []
     chart_faces: List[np.ndarray] = []
     chart_fmask: List[np.ndarray] = []
-    for c in range(n_charts):
-        fmask = chart_of_face == c
-        cfaces = faces[fmask]
-        label = labels[np.nonzero(fmask)[0][0]]
-        vids, local = np.unique(cfaces.reshape(-1), return_inverse=True)
-        floc = local.reshape(-1, 3)
-        uv = _flatten_chart(vertices[vids], floc, label)
+
+    def add_chart(fidx: np.ndarray, uv: np.ndarray, floc: np.ndarray):
+        fmask = np.zeros(nf, bool)
+        fmask[fidx] = True
         chart_uvs.append(uv)
         chart_faces.append(floc)
         chart_fmask.append(fmask)
+
+    def flip_frac(uv, floc):
+        return float((_signed_area2(uv, floc) <= 0).mean())
+
+    for c in range(n_charts):
+        fidx = np.nonzero(chart_of_face == c)[0]
+        cfaces = faces[fidx]
+        label = labels[fidx[0]]
+        vids, local = np.unique(cfaces.reshape(-1), return_inverse=True)
+        floc = local.reshape(-1, 3)
+        uv = _flatten_chart(vertices[vids], floc, label)
+        if flip_frac(uv, floc) <= 0.02:
+            add_chart(fidx, uv, floc)
+            continue
+        # split-retry: per true-label connected components
+        for sub in _label_components(faces, fidx, true_labels):
+            sfaces = faces[sub]
+            svids, slocal = np.unique(sfaces.reshape(-1),
+                                      return_inverse=True)
+            sfloc = slocal.reshape(-1, 3)
+            ua, va, sgn = _PROJ[true_labels[sub[0]]]
+            suv = np.stack([vertices[svids][:, ua],
+                            sgn * vertices[svids][:, va]], axis=1)
+            suv = _min_bbox_rotate(suv)
+            fv = vertices[svids][sfloc]
+            area3 = 0.5 * np.linalg.norm(
+                np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]),
+                axis=1).sum()
+            a2 = np.abs(_signed_area2(suv, sfloc).sum())
+            if a2 > 1e-14 and area3 > 0:
+                suv = suv * np.sqrt(area3 / a2)
+            suv = suv - suv.min(axis=0, keepdims=True)
+            add_chart(sub, suv, sfloc)
+    n_charts = len(chart_uvs)
 
     scale, offsets, rot90, shrink = _pack_bitmap(
         chart_uvs, chart_faces, atlas_res, gutter_px)

@@ -79,24 +79,19 @@ def test_alt_backbone_and_decoders(rng):
     pos = jnp.asarray(rng.standard_normal((200, 3)).astype(np.float32))
     sp = compute_spatial(pos, decoder_queries=jnp.zeros((10, 3)),
                          decoder_k=8)
-    pn = palt.init_pointnet_params(0)
-    lat = palt.pointnet_forward(
-        jax.tree_util.tree_map(jnp.asarray, pn), None, sp)
+    pn = jax.tree_util.tree_map(jnp.asarray, palt.init_pointnet_params(0))
+    lat = palt.pointnet_forward(pn, jnp.ones_like(pos), sp)
     assert lat.shape == (200, 32)
-    dp = jax.tree_util.tree_map(jnp.asarray,
-                                palt.init_alt_decoder_params(0))
-    for fn in (palt.decoder_interp_mean, palt.decoder_interp_max,
-               palt.decoder_interp_inv_dist):
+    assert np.isfinite(np.asarray(lat)).all()
+    # every registered decoder runs through the shared dispatch contract
+    for name, fn in palt.DECODERS.items():
+        if name == "InterpAttentionKHeadsNet":
+            continue          # main path, own params/tests (fkaconv)
+        dp = jax.tree_util.tree_map(
+            jnp.asarray, palt.init_alt_decoder_params(name, 0))
         out = fn(dp, lat, pos, jnp.zeros((10, 3)), sp["proj_indices"])
-        assert out.shape == (10, 2)
-        assert np.isfinite(np.asarray(out)).all()
-    pp = jax.tree_util.tree_map(jnp.asarray,
-                                palt.init_prefix_decoder_params(0))
-    for fn in (palt.decoder_interp_mean_prefix,
-               palt.decoder_interp_inv_dist_prefix):
-        out = fn(pp, lat, pos, jnp.zeros((10, 3)), sp["proj_indices"])
-        assert out.shape == (10, 2)
-        assert np.isfinite(np.asarray(out)).all()
+        assert out.shape == (10, 2), name
+        assert np.isfinite(np.asarray(out)).all(), name
 
 
 def test_batch_driver(tmp_path, demo_ply):
