@@ -9,13 +9,27 @@ image and restore it with DDNM/DDNM+ over the guided-diffusion UNet.
               sr_conv2|sr_conv4|cs_wh|denoising \
         --checkpoint 256x256_diffusion_uncond.pt --out out.png \
         [--sigma_y 0.0] [--steps 100]
+
+Dataset mode (reference main.py --path_y ImageNet/CelebA/LSUN runs, with
+folders of images standing in for the torchvision downloads):
+
+    python -m pointdreamer_tpu.cli.ddnm_restore --image_dir imgs/ \
+        --dataset IMAGENET --out outdir/ --deg sr4 [--limit N] [--batch 8]
 """
 import argparse
+import os
 
 
 def main():
     ap = argparse.ArgumentParser("ddnm_restore")
-    ap.add_argument("--image", required=True)
+    ap.add_argument("--image", default=None, help="single 256x256 image")
+    ap.add_argument("--image_dir", default=None,
+                    help="folder of images (dataset mode)")
+    ap.add_argument("--dataset", default="IMAGENET",
+                    help="preprocessing semantics: IMAGENET|CELEBA|LSUN|"
+                         "OOD|CIFAR10 (models/DDNM/datasets)")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", required=True)
     ap.add_argument("--deg", default="inpainting",
                     choices=["inpainting", "sr2", "sr4", "colorization",
@@ -35,10 +49,21 @@ def main():
     from ..models.diffusion import imagenet256_unet, init_unet_params
     from ..models.diffusion import svd_ops as S
 
-    img = pio.load_rgb(args.image)
-    h, w = img.shape[:2]
-    assert h == w == 256, "the 256x256 uncond model expects 256x256 input"
-    x = jnp.asarray(img)[None] * 2.0 - 1.0
+    if (args.image is None) == (args.image_dir is None):
+        ap.error("exactly one of --image / --image_dir is required")
+    if args.image_dir:
+        from ..models.diffusion.datasets import get_dataset
+
+        ds = get_dataset(args.dataset, args.image_dir, image_size=256,
+                         limit=args.limit)
+        batches = ds.batches(args.batch)
+        h = w = 256
+    else:
+        img = pio.load_rgb(args.image)
+        h, w = img.shape[:2]
+        assert h == w == 256, \
+            "the 256x256 uncond model expects 256x256 input"
+        batches = iter([([args.image], img[None])])
 
     if args.deg == "inpainting":
         rng = np.random.default_rng(args.seed)
@@ -81,14 +106,33 @@ def main():
         print("WARNING: no checkpoint — random UNet, output will be noise")
         params = init_unet_params(model)
 
-    y = factory().A(x)
-    pio.save_rgb(np.asarray(jnp.clip((y[0] + 1) / 2, 0, 1)),
-                 args.out.replace(".png", "_degraded.png"))
-    out = S.ddnm_plus_sample(model, params, y, factory,
-                             jax.random.PRNGKey(args.seed),
-                             sigma_y=args.sigma_y, t_sampling=args.steps)
-    pio.save_rgb(np.asarray(out[0]), args.out)
-    print("wrote", args.out)
+    dir_mode = args.image_dir is not None
+    if dir_mode:
+        os.makedirs(args.out, exist_ok=True)
+    for names, imgs in batches:
+        x = jnp.asarray(imgs) * 2.0 - 1.0
+        y = factory().A(x)
+        out = S.ddnm_plus_sample(model, params, y, factory,
+                                 jax.random.PRNGKey(args.seed),
+                                 sigma_y=args.sigma_y,
+                                 t_sampling=args.steps)
+        deg = np.asarray(jnp.clip((y + 1) / 2, 0, 1))
+        savable = deg.ndim == 4 and deg.shape[-1] == 3
+        if dir_mode:
+            for i, nm in enumerate(names):
+                stem = os.path.splitext(os.path.basename(nm))[0]
+                if savable:
+                    pio.save_rgb(deg[i], os.path.join(
+                        args.out, stem + "_degraded.png"))
+                pio.save_rgb(np.asarray(out[i]),
+                             os.path.join(args.out, stem + ".png"))
+                print("wrote", os.path.join(args.out, stem + ".png"))
+        else:
+            if savable:
+                pio.save_rgb(deg[0],
+                             args.out.replace(".png", "_degraded.png"))
+            pio.save_rgb(np.asarray(out[0]), args.out)
+            print("wrote", args.out)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,10 @@ class PipelineConfig:
     # 'DDNM_inpaint' | 'linear' | 'nearest'
     texture_gen_method: str = "DDNM_inpaint"
     diffusion_checkpoint: Optional[str] = None
+    # shard the DDNM view batch over all local devices (dp) when the view
+    # count divides the device count — TPU replacement for the reference's
+    # torch DataParallel (diffusion.py:456)
+    ddnm_data_parallel: bool = True
 
     # ---- cameras (reference configs/default.yaml:33-37) ------------------
     camera_distribution: str = "fibonacci_sphere"

@@ -22,7 +22,8 @@ def init_unet_params(model: UNetModel, rng_key=None, image_size: int = 256):
 
 def load_inpainter(checkpoint_path=None, logger=None,
                    t_sampling: int = 100, eta: float = 0.85,
-                   seed: int = 1234, model_kwargs=None) -> DDNMInpainter:
+                   seed: int = 1234, model_kwargs=None,
+                   mesh=None) -> DDNMInpainter:
     """Build the DDNM inpainter (reference prepare(), demo.py:322-328).
 
     With a checkpoint path, torch weights are converted; without one the
@@ -47,4 +48,4 @@ def load_inpainter(checkpoint_path=None, logger=None,
         # param shapes are image-size independent; init small & fast
         init_size = 16 * 2 ** (len(model.channel_mult) - 1)
         params = init_unet_params(model, image_size=init_size)
-    return DDNMInpainter(model, params, t_sampling, eta, seed)
+    return DDNMInpainter(model, params, t_sampling, eta, seed, mesh=mesh)

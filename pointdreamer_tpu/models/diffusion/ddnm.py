@@ -112,18 +112,38 @@ def ddnm_inpaint_batch(
 
 class DDNMInpainter:
     """Wrapper bundling the flax UNet + params (reference
-    ddnm_inpainting.py:15-44 Inpainter)."""
+    ddnm_inpainting.py:15-44 Inpainter).
+
+    `mesh` (optional jax.sharding.Mesh with 'dp'/'tp' axes) shards the
+    view batch over dp and large kernel feature dims over tp — the
+    TPU-native replacement for the reference's torch DataParallel
+    (diffusion.py:456); GSPMD inserts the collectives.
+    """
 
     def __init__(self, model, params, t_sampling: int = 100,
-                 eta: float = 0.85, seed: int = 1234):
+                 eta: float = 0.85, seed: int = 1234, mesh=None):
         self.model = model
         self.params = params
         self.t_sampling = t_sampling
         self.eta = eta
         self.seed = seed
+        self.mesh = mesh
+        if mesh is not None:
+            from ...parallel.mesh import shard_params_dp_tp
+
+            self.params = jax.device_put(
+                params, shard_params_dp_tp(params, mesh))
 
     def inpaint(self, masked_imgs, masks, rng_key=None):
         if rng_key is None:
             rng_key = jax.random.PRNGKey(self.seed)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = self.mesh.shape["dp"]
+            if masked_imgs.shape[0] % dp == 0:
+                s = NamedSharding(self.mesh, P("dp"))
+                masked_imgs = jax.device_put(jnp.asarray(masked_imgs), s)
+                masks = jax.device_put(jnp.asarray(masks), s)
         return ddnm_inpaint_batch(self.model, self.params, masked_imgs,
                                   masks, rng_key, self.t_sampling, self.eta)

@@ -82,9 +82,20 @@ class Pipeline:
 
             if (cfg.diffusion_checkpoint
                     or _os.environ.get("PD_ALLOW_RANDOM_DIFFUSION") == "1"):
+                import jax as _jax
+
                 from ..models.diffusion import load_inpainter
 
-                inpainter = load_inpainter(cfg.diffusion_checkpoint, logger)
+                mesh = None
+                n_dev = len(_jax.devices())
+                if cfg.ddnm_data_parallel and n_dev > 1 \
+                        and cfg.view_num % n_dev == 0:
+                    from ..parallel.mesh import make_mesh
+
+                    mesh = make_mesh(n_dev, tp=1)
+                    logger.info(f"DDNM views sharded over {n_dev} devices")
+                inpainter = load_inpainter(cfg.diffusion_checkpoint, logger,
+                                           mesh=mesh)
             else:
                 # the reference auto-downloads 256x256_diffusion_uncond.pt
                 # (diffusion.py:447-451); offline without a checkpoint a

@@ -118,3 +118,57 @@ def test_load_ply_mesh_ascii_and_binary(tmp_path):
     m = load_ply_mesh(str(pb))
     np.testing.assert_allclose(m["vertices"], v)
     np.testing.assert_array_equal(m["faces"], f)
+
+
+# ---------------------------------------------------------------------------
+# DDNM image datasets (models/DDNM/datasets -> diffusion/datasets.py)
+# ---------------------------------------------------------------------------
+
+def _write_img(path, w, h, seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def test_ddnm_image_folder_center_crop(tmp_path):
+    from pointdreamer_tpu.models.diffusion import datasets as DD
+
+    root = tmp_path / "imgs"
+    os.makedirs(root)
+    _write_img(root / "a.png", 700, 520, 0)   # >= 2x -> BOX halving path
+    _write_img(root / "b.jpg", 300, 260, 1)
+    (root / "skip.dat").write_bytes(b"not an image")
+    ds = DD.get_dataset("IMAGENET", str(root), image_size=256)
+    assert len(ds) == 2
+    for i in range(len(ds)):
+        img = ds[i]
+        assert img.shape == (256, 256, 3)
+        assert img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+    names, batch = next(ds.batches(8))
+    assert batch.shape == (2, 256, 256, 3)
+    assert len(names) == 2
+
+
+def test_ddnm_celeba_crop_and_transforms(tmp_path):
+    from pointdreamer_tpu.models.diffusion import datasets as DD
+
+    root = tmp_path / "celeba"
+    os.makedirs(root)
+    _write_img(root / "f1.png", 178, 218, 3)  # celeba native size
+    ds = DD.get_dataset("CELEBA", str(root), image_size=64)
+    img = ds[0]
+    assert img.shape == (64, 64, 3)
+    x = DD.data_transform(img)
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    back = DD.inverse_data_transform(x)
+    np.testing.assert_allclose(back, img, atol=1e-6)
+
+
+def test_ddnm_dataset_missing_root(tmp_path):
+    from pointdreamer_tpu.models.diffusion import datasets as DD
+
+    with pytest.raises(FileNotFoundError):
+        DD.get_dataset("LSUN", str(tmp_path / "nope"))

@@ -73,3 +73,27 @@ def test_ddnm_views_sharded_over_dp():
     out = np.asarray(ddnm_inpaint_batch(model, params, img_s, mask_s, key,
                                         t_sampling=4))
     np.testing.assert_allclose(out, base, atol=1e-4)
+
+
+def test_inpainter_mesh_option():
+    """DDNMInpainter(mesh=...) shards params (tp) + views (dp) and matches
+    the single-device result."""
+    import jax.numpy as jnp
+    from pointdreamer_tpu.models.diffusion import UNetModel, init_unet_params
+    from pointdreamer_tpu.models.diffusion.ddnm import DDNMInpainter
+    from pointdreamer_tpu.parallel.mesh import make_mesh
+
+    model = UNetModel(model_channels=32, out_channels=6, num_res_blocks=1,
+                      channel_mult=(1, 2), attention_ds=(2,),
+                      num_head_channels=16, dtype=jnp.float32)
+    params = init_unet_params(model, image_size=16)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((8, 16, 16, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((8, 16, 16)) < 0.5).astype(np.float32))
+
+    base = np.asarray(DDNMInpainter(model, params, t_sampling=4)
+                      .inpaint(img, mask))
+    mesh = make_mesh(8, tp=2)
+    out = np.asarray(DDNMInpainter(model, params, t_sampling=4, mesh=mesh)
+                     .inpaint(img, mask))
+    np.testing.assert_allclose(out, base, atol=1e-4)
