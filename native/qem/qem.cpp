@@ -86,6 +86,44 @@ void face_plane(const Mesh& M, int f, double* abcd) {
   abcd[3] = -(abcd[0]*p0[0] + abcd[1]*p0[1] + abcd[2]*p0[2]);
 }
 
+// Link condition (Dey et al. / Hoppe): collapsing (a,b) preserves a
+// manifold iff the common vertex neighbors of a and b are exactly the
+// opposite vertices of the faces incident on edge (a,b).  Without this,
+// deep decimation (e.g. 500k -> 10k) creates fins: edges shared by >2
+// faces, which downstream chart growing/packing cannot handle.
+bool link_condition_ok(Mesh& M, int a, int b) {
+  std::unordered_set<int> na, opposite;
+  int edge_faces = 0;
+  for (int f : M.vfaces[a]) {
+    if (M.fdead[f]) continue;
+    int vs[3];
+    for (int j = 0; j < 3; ++j) vs[j] = M.find((int)M.F[3*f+j]);
+    bool has_b = (vs[0]==b || vs[1]==b || vs[2]==b);
+    for (int j = 0; j < 3; ++j) {
+      if (vs[j] != a && vs[j] != b) {
+        na.insert(vs[j]);
+        if (has_b) opposite.insert(vs[j]);
+      }
+    }
+    if (has_b) ++edge_faces;
+  }
+  if (edge_faces > 2) return false;       // edge already non-manifold
+  int common = 0;
+  std::unordered_set<int> seen;
+  for (int f : M.vfaces[b]) {
+    if (M.fdead[f]) continue;
+    int vs[3];
+    for (int j = 0; j < 3; ++j) vs[j] = M.find((int)M.F[3*f+j]);
+    for (int j = 0; j < 3; ++j) {
+      int v = vs[j];
+      if (v != a && v != b && na.count(v) && seen.insert(v).second)
+        ++common;
+    }
+  }
+  // every common neighbor must be an opposite vertex of a dying face
+  return common == (int)opposite.size() && common == edge_faces;
+}
+
 bool collapse_would_flip(Mesh& M, int v_keep, int v_gone,
                          const double* newpos) {
   // check faces incident to either vertex that survive the collapse
@@ -164,6 +202,13 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
       pos[2]=(M.V[3*a+2]+M.V[3*b+2])*0.5;
     }
     double cost = q.eval(pos[0], pos[1], pos[2]);
+    // shortest-edge tie-break: on exactly-flat regions every quadric cost
+    // is 0 and an arbitrary collapse order lets one vertex swallow a whole
+    // plane (quadratic vfaces growth + fins).  A tiny length^2 term keeps
+    // coarsening uniform and valence bounded.
+    double dx = M.V[3*a]-M.V[3*b], dy = M.V[3*a+1]-M.V[3*b+1],
+           dz = M.V[3*a+2]-M.V[3*b+2];
+    cost += 1e-9 * (dx*dx + dy*dy + dz*dz);
     heap.push({cost, a, b,
                (uint64_t)M.version[a] + (uint64_t)M.version[b]});
   };
@@ -193,6 +238,10 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
       pos[0]=(M.V[3*a]+M.V[3*b])*0.5; pos[1]=(M.V[3*a+1]+M.V[3*b+1])*0.5;
       pos[2]=(M.V[3*a+2]+M.V[3*b+2])*0.5;
     }
+    // valence cap: a quadratic-growth backstop (flip/link checks scan the
+    // merged incidence list, so unbounded valence is O(n^2) overall)
+    if (M.vfaces[a].size() + M.vfaces[b].size() > 96) continue;
+    if (!link_condition_ok(M, a, b)) continue;
     if (collapse_would_flip(M, a, b, pos)) continue;
 
     // collapse b -> a

@@ -56,3 +56,33 @@ def test_qem_noop_below_target():
     v, f = _sphere_mesh(1)
     v2, f2 = qem.simplify(v, f, 1000)
     np.testing.assert_array_equal(f, f2)
+
+
+def test_qem_flat_regions_stay_manifold():
+    """Deep decimation of a flat-heavy mesh (marching-tets cube) must stay
+    2-manifold: the link condition + shortest-edge tie-break prevent the
+    fin/mega-valence pathology that scrambled grid>=128 meshes (every
+    edge shared by exactly two faces, no boundary, no fins)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.ops import iso as oiso, sdf as osdf
+    from pointdreamer_tpu.pipeline import geometry as pgeo
+
+    field = osdf.eval_sdf_on_grid(
+        lambda q: jnp.max(jnp.abs(q), axis=-1) - 0.5, 48,
+        pgeo.GRID_LO, pgeo.GRID_HI)
+    axis = np.linspace(pgeo.GRID_LO, pgeo.GRID_HI, 48, dtype=np.float32)
+    verts, faces = oiso.marching_tets(field, axis)
+    assert len(faces) > 20000
+    t0 = time.time()
+    v2, f2 = qem.simplify(np.asarray(verts), np.asarray(faces), 2000)
+    assert time.time() - t0 < 30          # old pathology: minutes
+    assert 1000 <= len(f2) <= 2600
+    e = np.sort(np.concatenate([f2[:, [0, 1]], f2[:, [1, 2]],
+                                f2[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    assert (counts == 2).all()            # watertight, manifold
+    err = np.abs(np.max(np.abs(v2), axis=1) - 0.5)
+    assert np.percentile(err, 99) < 0.02  # vertices stay on the surface
