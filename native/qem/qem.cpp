@@ -9,6 +9,8 @@
 //
 // Build: g++ -O3 -fPIC -shared qem.cpp -o libqem.so
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <queue>
@@ -48,6 +50,32 @@ struct Quadric {
     return true;
   }
 };
+
+// Collapse placement: quadric-optimal point, falling back to the best of
+// {midpoint, v0, v1} when the normal-equation solve is singular OR lands
+// far from the edge (ill-conditioned quadrics on noisy surfaces produce
+// wild optimal points that the flip guard then rejects wholesale,
+// stalling decimation above the target count).
+void placement(const std::vector<double>& V, const Quadric& q,
+               int a, int b, double* pos) {
+  double mx = (V[3*a] + V[3*b]) * 0.5, my = (V[3*a+1] + V[3*b+1]) * 0.5,
+         mz = (V[3*a+2] + V[3*b+2]) * 0.5;
+  double ex = V[3*a] - V[3*b], ey = V[3*a+1] - V[3*b+1],
+         ez = V[3*a+2] - V[3*b+2];
+  double elen2 = ex*ex + ey*ey + ez*ez;
+  if (q.optimal(pos)) {
+    double dx = pos[0]-mx, dy = pos[1]-my, dz = pos[2]-mz;
+    if (dx*dx + dy*dy + dz*dz <= 4.0 * elen2) return;
+  }
+  const double cand[3][3] = {{mx, my, mz},
+                             {V[3*a], V[3*a+1], V[3*a+2]},
+                             {V[3*b], V[3*b+1], V[3*b+2]}};
+  double best = 1e300;
+  for (const auto& c : cand) {
+    double e = q.eval(c[0], c[1], c[2]);
+    if (e < best) { best = e; pos[0]=c[0]; pos[1]=c[1]; pos[2]=c[2]; }
+  }
+}
 
 struct HeapItem {
   double cost;
@@ -197,10 +225,7 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
     if (a > b) std::swap(a, b);
     Quadric q = M.Q[a]; q.add(M.Q[b]);
     double pos[3];
-    if (!q.optimal(pos)) {
-      pos[0]=(M.V[3*a]+M.V[3*b])*0.5; pos[1]=(M.V[3*a+1]+M.V[3*b+1])*0.5;
-      pos[2]=(M.V[3*a+2]+M.V[3*b+2])*0.5;
-    }
+    placement(M.V, q, a, b, pos);
     double cost = q.eval(pos[0], pos[1], pos[2]);
     // shortest-edge tie-break: on exactly-flat regions every quadric cost
     // is 0 and an arbitrary collapse order lets one vertex swallow a whole
@@ -212,37 +237,57 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
     heap.push({cost, a, b,
                (uint64_t)M.version[a] + (uint64_t)M.version[b]});
   };
-  {
+  auto seed_heap = [&]() {
     std::unordered_set<uint64_t> seen;
     for (int f = 0; f < nf; ++f) {
+      if (M.fdead[f]) continue;
       for (int j = 0; j < 3; ++j) {
-        int a = (int)M.F[3*f+j], b = (int)M.F[3*f+(j+1)%3];
+        int a = M.find((int)M.F[3*f+j]), b = M.find((int)M.F[3*f+(j+1)%3]);
+        if (a == b) continue;
         if (a > b) std::swap(a, b);
         uint64_t key = ((uint64_t)a << 32) | (uint32_t)b;
         if (seen.insert(key).second) push_edge(a, b);
       }
     }
-  }
+  };
+  seed_heap();
 
   int alive_faces = nf;
+  // restart passes: a link/flip-rejected edge is dropped from the heap,
+  // but often becomes collapsible after nearby collapses change its
+  // neighborhood — reseed and retry until the target is reached or a
+  // pass makes no progress.
+  for (int pass = 0; pass < 8 && alive_faces > target_faces; ++pass) {
+    if (pass > 0) {
+      int before = alive_faces;
+      seed_heap();
+      if (heap.empty()) break;
+      (void)before;
+    }
+    int at_start = alive_faces;
+    long n_stale = 0, n_val = 0, n_link = 0, n_flip = 0, n_ok = 0;
   while (alive_faces > target_faces && !heap.empty()) {
     HeapItem it = heap.top(); heap.pop();
     int a = M.find(it.v0), b = M.find(it.v1);
     if (a == b) continue;
     if ((uint64_t)M.version[a] + (uint64_t)M.version[b] != it.stamp ||
-        a != it.v0 || b != it.v1) continue;  // stale
+        a != it.v0 || b != it.v1) { ++n_stale; continue; }  // stale
 
     Quadric q = M.Q[a]; q.add(M.Q[b]);
     double pos[3];
-    if (!q.optimal(pos)) {
-      pos[0]=(M.V[3*a]+M.V[3*b])*0.5; pos[1]=(M.V[3*a+1]+M.V[3*b+1])*0.5;
-      pos[2]=(M.V[3*a+2]+M.V[3*b+2])*0.5;
-    }
+    placement(M.V, q, a, b, pos);
     // valence cap: a quadratic-growth backstop (flip/link checks scan the
-    // merged incidence list, so unbounded valence is O(n^2) overall)
-    if (M.vfaces[a].size() + M.vfaces[b].size() > 96) continue;
-    if (!link_condition_ok(M, a, b)) continue;
-    if (collapse_would_flip(M, a, b, pos)) continue;
+    // merged incidence list, so unbounded valence is O(n^2) overall);
+    // count alive faces only — stale dead entries linger in vfaces
+    {
+      size_t val = 0;
+      for (int ff : M.vfaces[a]) if (!M.fdead[ff]) ++val;
+      for (int ff : M.vfaces[b]) if (!M.fdead[ff]) ++val;
+      if (val > 96) { ++n_val; continue; }
+    }
+    if (!link_condition_ok(M, a, b)) { ++n_link; continue; }
+    if (collapse_would_flip(M, a, b, pos)) { ++n_flip; continue; }
+    ++n_ok;
 
     // collapse b -> a
     M.remap[b] = a;
@@ -278,6 +323,15 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
       }
     }
     for (int v : nbrs) push_edge(a, v);
+  }
+    if (std::getenv("QEM_DEBUG"))
+      std::fprintf(stderr,
+                   "qem pass %d: alive %d stale %ld val %ld link %ld "
+                   "flip %ld ok %ld\n", pass, alive_faces, n_stale, n_val,
+                   n_link, n_flip, n_ok);
+    if (alive_faces == at_start) break;       // no progress: stop passes
+    // drain leftover stale items before the next reseed
+    while (!heap.empty()) heap.pop();
   }
 
   // compact output

@@ -149,7 +149,9 @@ def run_roundtrip(out_dir: str,
     kw = dict(
         output_path=os.path.join(out_dir, "out"),
         texture_gen_method="nearest",
-        geo_from="hoppe",
+        geo_from="SPR",   # FFT-Poisson: smooth indicator, no spurious
+                          # handles at sharp edges (hoppe double-sheets
+                          # there at high grid res)
         grid_res=128,
         target_face_num=10000,
         cam_res=512,

@@ -328,7 +328,7 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
     while S < 2 * G:
         S *= 2                                   # FFT size (power of two)
 
-    def try_place(s):
+    def try_place(s, force=False):
         occ = np.zeros((G, G), np.float32)
         offsets = np.zeros((n, 2))
         rot90 = np.zeros(n, bool)
@@ -373,7 +373,14 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
                 if placed:
                     break
             if not placed:
-                return None
+                if not force:
+                    return None
+                # forced mode (topological-noise meshes with thousands of
+                # sliver charts): degenerate the chart to ~one texel at
+                # the gutter corner rather than failing the whole atlas —
+                # a zero-area slot loses only that sliver's texels
+                offsets[c] = (gutter_g, gutter_g)
+                shrink[c] = 1e-6
         return offsets, rot90, shrink
 
     # scale ladder down from the fit-by-TRUE-area upper estimate (atlas
@@ -384,14 +391,28 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
         for c in range(n))
     s_hi = np.sqrt(0.97 * G * G / max(true_area, 1e-12))
     s_hi = min(s_hi, (G - 2 * gutter_g - 2) / ext.max())
+    def feasible(s):
+        # cheap area bound: if even the rectangular footprints cannot fit,
+        # skip the FFT placement pass entirely (sliver-chart meshes would
+        # otherwise burn thousands of correlations per hopeless level)
+        w = np.ceil(ext[:, 0] * s) + 1 + 2 * gutter_g
+        h = np.ceil(ext[:, 1] * s) + 1 + 2 * gutter_g
+        return float((w * h).sum()) <= 1.02 * G * G
+
     f = 1.0
     while f > 0.05:
+        if not feasible(s_hi * f):
+            f *= 0.9
+            continue
         r = try_place(s_hi * f)
         if r is not None:
             offsets, rot90, shrink = r
             return s_hi * f * up, offsets * up, rot90, shrink
         f *= 0.9
-    raise RuntimeError("chart packing failed to converge")
+    # forced final pass: degenerate whatever cannot fit (never fail —
+    # xatlas semantics; hit only by pathological sliver-chart meshes)
+    offsets, rot90, shrink = try_place(s_hi * 0.05, force=True)
+    return s_hi * 0.05 * up, offsets * up, rot90, shrink
 
 
 # ---------------------------------------------------------------------------
