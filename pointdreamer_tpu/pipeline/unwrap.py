@@ -392,11 +392,13 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
     s_hi = np.sqrt(0.97 * G * G / max(true_area, 1e-12))
     s_hi = min(s_hi, (G - 2 * gutter_g - 2) / ext.max())
     def feasible(s):
-        # cheap area bound: if even the rectangular footprints cannot fit,
-        # skip the FFT placement pass entirely (sliver-chart meshes would
-        # otherwise burn thousands of correlations per hopeless level)
-        w = np.ceil(ext[:, 0] * s) + 1 + 2 * gutter_g
-        h = np.ceil(ext[:, 1] * s) + 1 + 2 * gutter_g
+        # cheap area bound: skip the FFT placement pass only when even the
+        # per-chart shrink floor (0.2) could not fit the rectangular
+        # footprints — conservative, so levels the shrink ladder could
+        # rescue are still attempted (sliver-chart meshes would otherwise
+        # burn thousands of correlations per hopeless level)
+        w = np.ceil(ext[:, 0] * s * 0.2) + 1 + 2 * gutter_g
+        h = np.ceil(ext[:, 1] * s * 0.2) + 1 + 2 * gutter_g
         return float((w * h).sum()) <= 1.02 * G * G
 
     f = 1.0
