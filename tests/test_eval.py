@@ -72,3 +72,49 @@ def test_render_textured_views():
     assert (imgs[:, 32, 32] == [1, 0, 0]).all()
     # every view has some white background (pole views fill the corners)
     assert ((imgs == 1.0).all(-1).reshape(4, -1).mean(1) > 0.05).all()
+
+
+def test_renderer_variants():
+    """Vertex-color, normal-map, mask, and lit renderers
+    (camera_utils.py:379/556/735/857 equivalents)."""
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.core.camera import make_camera_rig
+    from pointdreamer_tpu.eval.render import (
+        render_mask_views, render_normal_views, render_textured_views,
+        render_vertex_color_views)
+
+    # unit cube about the origin
+    v = np.array([[x, y, z] for x in (-.4, .4) for y in (-.4, .4)
+                  for z in (-.4, .4)], np.float32)
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int64)
+    rig = make_camera_rig(2, res=64)
+    vj, fj = jnp.asarray(v), jnp.asarray(f)
+
+    mask = np.asarray(render_mask_views(rig, vj, fj))
+    assert mask.shape == (2, 64, 64)
+    assert 0.05 < mask.mean() < 0.9
+
+    vc = np.asarray(render_vertex_color_views(
+        rig, vj, fj, jnp.asarray(np.clip(v + 0.5, 0, 1))))
+    assert vc.shape == (2, 64, 64, 3)
+    assert np.isfinite(vc).all() and vc.min() >= 0 and vc.max() <= 1
+
+    nm = np.asarray(render_normal_views(rig, vj, fj))
+    fg = mask.astype(bool)
+    enc = nm[fg]           # encoded normals decode to ~unit vectors
+    dec = enc * 2 - 1
+    assert np.allclose(np.linalg.norm(dec, axis=-1), 1.0, atol=1e-3)
+
+    uvs = np.random.default_rng(0).random((8, 2)).astype(np.float32)
+    atlas = jnp.asarray(np.full((32, 32, 3), 0.8, np.float32))
+    lit = np.asarray(render_textured_views(
+        rig, vj, fj, jnp.asarray(uvs), fj, atlas,
+        light_dir=jnp.asarray([0.0, 0.0, 1.0])))
+    unlit = np.asarray(render_textured_views(
+        rig, vj, fj, jnp.asarray(uvs), fj, atlas))
+    # lighting darkens oblique faces; background stays identical
+    assert (lit[fg] <= unlit[fg] + 1e-6).all()
+    assert np.allclose(lit[~fg], unlit[~fg])
