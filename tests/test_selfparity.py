@@ -37,3 +37,11 @@ def test_selfparity_cube_full(tmp_path):
     res = run_roundtrip(str(tmp_path), "cube", 30000)
     print("selfparity full:", json.dumps(res))
     assert res["psnr_db"] >= 30.0, res
+
+
+def test_selfparity_sphere_quick(tmp_path):
+    """Curved-surface variant: LSCM charts are genuinely non-developable
+    here (unlike the cube's flat boxes).  Measured 41.8 dB."""
+    res = run_roundtrip(str(tmp_path), "sphere", 10000, overrides=QUICK)
+    print("selfparity sphere quick:", json.dumps(res))
+    assert res["psnr_db"] >= 35.0, res
