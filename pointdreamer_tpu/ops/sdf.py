@@ -259,10 +259,25 @@ def eval_sdf_on_grid_banded(sdf_fn, points: np.ndarray, res: int,
     axis = np.linspace(lo, hi, res, dtype=np.float32)
     coarse_res = max(res // 4, 16)
     coarse = eval_sdf_on_grid(sdf_fn, coarse_res, lo, hi, chunk)
-    # upsample coarse signs to fine grid (nearest)
-    idx = np.clip((np.arange(res) * coarse_res // res), 0, coarse_res - 1)
-    far = coarse[np.ix_(idx, idx, idx)]
-    far = np.sign(far) * (np.abs(far) + 0.05)
+    # trilinear-upsampled coarse field: CONTINUOUS far values (nearest
+    # sign upsampling put spurious zero-crossings at band boundaries —
+    # marching tets then emitted interior "walls" with area comparable to
+    # the true surface)
+    t = np.arange(res) * (coarse_res - 1) / (res - 1)
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, coarse_res - 2)
+    fr = (t - i0).astype(np.float32)
+
+    def lerp_axis(a, ax):
+        sl0 = [slice(None)] * 3
+        sl1 = [slice(None)] * 3
+        sl0[ax] = i0
+        sl1[ax] = i0 + 1
+        shape = [1, 1, 1]
+        shape[ax] = res
+        f = fr.reshape(shape)
+        return a[tuple(sl0)] * (1 - f) + a[tuple(sl1)] * f
+
+    far = lerp_axis(lerp_axis(lerp_axis(coarse, 0), 1), 2)
 
     # voxel mask around points, dilated
     span = hi - lo
@@ -273,6 +288,11 @@ def eval_sdf_on_grid_banded(sdf_fn, points: np.ndarray, res: int,
     from scipy.ndimage import binary_dilation
 
     mask = binary_dilation(mask, iterations=band)
+    # also evaluate exactly wherever the coarse field approaches zero:
+    # any remaining far-field crossing would otherwise still emit a
+    # spurious sheet (sign errors cluster near sharp features)
+    tau = 2.0 * span / res
+    mask |= binary_dilation(np.abs(far) < tau, iterations=1)
 
     flat_ids = np.nonzero(mask.reshape(-1))[0]
     coords, _ = make_grid_coords(res, lo, hi)

@@ -177,11 +177,10 @@ def reconstruct_mesh(
     axis = np.linspace(GRID_LO, GRID_HI, grid_res, dtype=np.float32)
 
     if geo_from == "POCO" and poco_apply is None:
-        # SPR (FFT-Poisson) over hoppe: the smoothed indicator stays
-        # watertight and handle-free at sharp features where the signed
-        # point-plane field double-sheets (measured: cube@128 -> SPR
-        # exactly hits the face target, manifold, area 5.9 vs true 6.0;
-        # hoppe leaves 3.4/8.4 of its area in junk sheets)
+        # SPR (FFT-Poisson) over hoppe: the globally smoothed indicator
+        # is the more robust non-learned prior on real scans (hoppe's
+        # k-plane field is noisier where normal estimates wobble), and it
+        # evaluates as one fused FFT instead of banded kNN queries
         warnings.warn("geo_from='POCO' but no checkpoint/network supplied; "
                       "falling back to the non-learned 'SPR' backend")
         geo_from = "SPR"

@@ -332,3 +332,48 @@ def test_bilateral_filter_edge_preserving(rng):
     # edge not smeared: means on both sides stay far apart
     assert out[:, :w // 2 - 2].mean() < 0.1
     assert out[:, w // 2 + 2:].mean() > 0.9
+
+
+def test_banded_eval_matches_dense_on_sharp_field():
+    """The banded grid evaluation must agree with dense evaluation at the
+    iso-surface: the old nearest-sign far-field upsampling emitted
+    spurious interior walls at band boundaries (junk area comparable to
+    the true surface on sharp shapes)."""
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.ops import iso as oiso, sdf as osdf
+
+    rng = np.random.default_rng(0)
+    # points on a sharp cube surface
+    face = rng.integers(0, 6, 6000)
+    uv = rng.random((6000, 2)) - 0.5
+    axis_id = face % 3
+    sign = np.where(face < 3, 0.5, -0.5)
+    pts = np.zeros((6000, 3), np.float32)
+    rows = np.arange(6000)
+    other = np.array([[1, 2], [0, 2], [0, 1]])[axis_id]
+    pts[rows, axis_id] = sign
+    pts[rows, other[:, 0]] = uv[:, 0]
+    pts[rows, other[:, 1]] = uv[:, 1]
+
+    def field_fn(q):
+        return jnp.max(jnp.abs(q), axis=-1) - 0.5
+
+    res = 64
+    lo, hi = -0.6, 0.6
+    fb = osdf.eval_sdf_on_grid_banded(field_fn, pts, res, lo, hi)
+    fd = osdf.eval_sdf_on_grid(field_fn, res, lo, hi)
+    ax = np.linspace(lo, hi, res, dtype=np.float32)
+    vb, tb = oiso.marching_tets(fb, ax)
+    vd, td = oiso.marching_tets(fd, ax)
+
+    def area(v, f):
+        fv = v[np.asarray(f)]
+        return float(0.5 * np.linalg.norm(
+            np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0]),
+            axis=1).sum())
+
+    ab, ad = area(vb, tb), area(vd, td)
+    assert abs(ab - ad) < 0.05 * ad, (ab, ad)
+    # same signs everywhere on the fine grid at the surface band
+    assert (np.sign(fb) == np.sign(fd)).mean() > 0.999
