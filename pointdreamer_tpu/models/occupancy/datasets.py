@@ -62,7 +62,8 @@ class ShapeNetOccupancy:
                 queries[qi], occ[qi].astype(np.int32))
 
     def batches(self, batch_size: int, shuffle: bool = True,
-                seed: int = 0) -> Iterator[Tuple[np.ndarray, ...]]:
+                seed: int = 0, transform=None
+                ) -> Iterator[Tuple[np.ndarray, ...]]:
         rng = np.random.default_rng(seed)
         order = np.arange(len(self))
         while True:
@@ -70,6 +71,8 @@ class ShapeNetOccupancy:
                 rng.shuffle(order)
             for s in range(0, len(order) - batch_size + 1, batch_size):
                 items = [self[int(j)] for j in order[s:s + batch_size]]
+                if transform is not None:
+                    items = [transform(*it, rng) for it in items]
                 yield tuple(np.stack(x) for x in zip(*items))
 
 
@@ -79,10 +82,13 @@ def _resample(arr: np.ndarray, n: int, rng) -> np.ndarray:
 
 
 class _BatchesMixin:
-    """Fixed-shape batching shared by all loaders (jit once)."""
+    """Fixed-shape batching shared by all loaders (jit once).  `transform`
+    is an occupancy.transforms callable applied per sample (reference
+    lightconvpoint/utils/transforms.py wiring)."""
 
     def batches(self, batch_size: int, shuffle: bool = True,
-                seed: int = 0) -> Iterator[Tuple[np.ndarray, ...]]:
+                seed: int = 0, transform=None
+                ) -> Iterator[Tuple[np.ndarray, ...]]:
         rng = np.random.default_rng(seed)
         order = np.arange(len(self))
         while True:
@@ -90,6 +96,8 @@ class _BatchesMixin:
                 rng.shuffle(order)
             for s in range(0, len(order) - batch_size + 1, batch_size):
                 items = [self[int(j)] for j in order[s:s + batch_size]]
+                if transform is not None:
+                    items = [transform(*it, rng) for it in items]
                 yield tuple(np.stack(x) for x in zip(*items))
 
 

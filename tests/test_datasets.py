@@ -172,3 +172,52 @@ def test_ddnm_dataset_missing_root(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         DD.get_dataset("LSUN", str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# training transforms (lightconvpoint/utils/transforms.py equivalents)
+# ---------------------------------------------------------------------------
+
+def test_training_transforms():
+    from pointdreamer_tpu.models.occupancy import transforms as T
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((500, 3)).astype(np.float32) - 0.5
+    q = rng.random((200, 3)).astype(np.float32) - 0.5
+    occ = (rng.random(200) > 0.5).astype(np.int32)
+
+    p2, q2, o2 = T.FixedPoints(128)(pts, q, occ, rng)
+    assert p2.shape == (128, 3) and q2 is q and o2 is occ
+
+    p3, q3, _ = T.RandomRotate(180.0, 2)(pts, q, occ, rng)
+    # rotation about z preserves z and radii
+    np.testing.assert_allclose(p3[:, 2], pts[:, 2], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(p3[:, :2], axis=1),
+                               np.linalg.norm(pts[:, :2], axis=1),
+                               atol=1e-5)
+    # queries rotate by the SAME matrix: relative geometry preserved
+    d_before = np.linalg.norm(pts[:200] - q, axis=1)
+    d_after = np.linalg.norm(p3[:200] - q3, axis=1)
+    np.testing.assert_allclose(d_after, d_before, atol=1e-5)
+
+    p4, _, _ = T.RandomNoiseNormal(0.01)(pts, q, occ, rng)
+    assert 0 < np.abs(p4 - pts).mean() < 0.02
+
+    p5, _, _ = T.Permutation()(pts, q, occ, rng)
+    assert not np.array_equal(p5, pts)
+    np.testing.assert_allclose(np.sort(p5, 0), np.sort(pts, 0), atol=0)
+
+    full = T.default_train_transform(n_points=64)
+    p6, q6, o6 = full(pts, q, occ, rng)
+    assert p6.shape == (64, 3) and q6.shape == q.shape
+
+
+def test_batches_with_transform(p2s_root):
+    from pointdreamer_tpu.models.occupancy import transforms as T
+
+    ds = D.Point2SurfDataset(p2s_root, "abc", split="training",
+                             n_points=128, n_queries=64)
+    it = ds.batches(2, transform=T.default_train_transform())
+    pts, q, occ = next(it)
+    assert pts.shape == (2, 128, 3)
+    assert q.shape[0] == 2 and occ.shape[0] == 2
