@@ -146,9 +146,12 @@ def rasterize_views_binned_pallas(
     res: int,
     cull_backface: bool = False,
     interpret: bool = False,
+    side_list: int = 64,
 ) -> RasterOut:
     """All-views rasterization: XLA binning + coefficient gather, Pallas
-    per-tile z-buffer loop.  res must be a multiple of 128."""
+    per-tile z-buffer loop.  res must be a multiple of 128.  `side_list`
+    sizes the big-face global list (callers with concrete inputs size it
+    from the layout — ops.raster._side_list_budget)."""
     assert res % TILE_C == 0
     V = verts_ndc.shape[0]
     F = faces.shape[0]
@@ -164,7 +167,8 @@ def rasterize_views_binned_pallas(
             e2 = tri_xy[:, 2] - tri_xy[:, 0]
             signed = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
             tri_xy = jnp.where((signed < 0.0)[:, None, None], tri_xy, -1e6)
-        cid = _bin_faces_sorted_rect(tri_xy, res, K)      # [T, KB]
+        cid = _bin_faces_sorted_rect(tri_xy, res, K,
+                                     B=side_list)         # [T, KB]
         cof = _face_coefficients(tri_xy, tri_z)           # [F, 12]
         # column 12: candidate face id as exact float (F < 2^24)
         cof = jnp.concatenate(

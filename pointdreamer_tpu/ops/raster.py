@@ -189,7 +189,8 @@ def _footprint_span(res: int, tile: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("res", "tile",
                                               "max_faces_per_tile",
-                                              "cull_backface"))
+                                              "cull_backface",
+                                              "side_list"))
 def rasterize_tiled(
     verts_ndc: jnp.ndarray,
     verts_depth: jnp.ndarray,
@@ -198,6 +199,7 @@ def rasterize_tiled(
     tile: int = 16,
     max_faces_per_tile: int = None,
     cull_backface: bool = False,
+    side_list: int = 64,
 ) -> RasterOut:
     """Two-level rasterizer: bin faces to pixel tiles by bounding box
     (sort-based binning, `bin_faces_grid`), then test only each tile's
@@ -230,7 +232,7 @@ def rasterize_tiled(
         tri_xy = jnp.where(front, tri_xy, -1e6)
 
     span = _footprint_span(res, tile)
-    cid = bin_faces_grid(tri_xy, tile, tile, nt, nt, K, B=64,
+    cid = bin_faces_grid(tri_xy, tile, tile, nt, nt, K, B=side_list,
                          span_x=span, span_y=span)       # [T,K+B]
     cand = jnp.maximum(cid, 0)
     ctri = tri_xy[cand]                              # [T,K+B,3,2]
@@ -319,6 +321,35 @@ def rasterize_tiled(
                      bary=untile(bary_t))
 
 
+def _count_big_faces(verts_ndc, faces, res, tile_x, tile_y,
+                     span_x, span_y) -> int:
+    """Host-side count of faces whose bbox exceeds the binning footprint
+    (they go to the global side list).  Only callable on CONCRETE
+    arrays; cheap relative to the raster itself."""
+    px = (np.asarray(verts_ndc) * 0.5 + 0.5) * res     # [V,N,2]
+    tri = px[:, np.asarray(faces)]                      # [V,F,3,2]
+    wx = (np.floor(tri[..., 0].max(2) / tile_x)
+          - np.floor(tri[..., 0].min(2) / tile_x))
+    wy = (np.floor(tri[..., 1].max(2) / tile_y)
+          - np.floor(tri[..., 1].min(2) / tile_y))
+    onscreen = ((tri[..., 0].max(2) >= 0) & (tri[..., 0].min(2) < res)
+                & (tri[..., 1].max(2) >= 0) & (tri[..., 1].min(2) < res))
+    big = onscreen & ((wx > span_x - 1) | (wy > span_y - 1))
+    return int(big.sum(axis=1).max()) if big.size else 0
+
+
+def _side_list_budget(verts_ndc, faces, res, tile_x, tile_y,
+                      span_x, span_y) -> int:
+    """64-bucketed side-list size from the concrete layout; the fixed
+    64-slot default silently dropped big faces on flat-feature meshes
+    (hundreds of footprint-exceeding triangles -> uncovered regions)."""
+    if isinstance(verts_ndc, jax.core.Tracer):
+        return 64
+    nbig = _count_big_faces(verts_ndc, faces, res, tile_x, tile_y,
+                            span_x, span_y)
+    return max(64, -(-nbig // 64) * 64)
+
+
 def rasterize_views(verts_ndc, verts_depth, faces, res, chunk=64,
                     tiled=True, max_faces_per_tile=512,
                     cull_backface=False):
@@ -336,14 +367,20 @@ def rasterize_views(verts_ndc, verts_depth, faces, res, chunk=64,
             and jax.default_backend() != "cpu"):
         # Mosaic kernel path: XLA binning + per-tile VMEM z-buffer loop
         # (kernels/raster_pallas.rasterize_views_binned_pallas)
-        from ..kernels.raster_pallas import rasterize_views_binned_pallas
+        from ..kernels.raster_pallas import (TILE_C, TILE_R,
+                                             rasterize_views_binned_pallas)
 
+        B = _side_list_budget(verts_ndc, faces, res, TILE_C, TILE_R,
+                              3, max(8, res // (8 * TILE_R)))
         return rasterize_views_binned_pallas(verts_ndc, verts_depth, faces,
-                                             res, cull_backface)
+                                             res, cull_backface,
+                                             side_list=B)
     if tiled and res % 16 == 0:
+        span = _footprint_span(res, 16)
+        B = _side_list_budget(verts_ndc, faces, res, 16, 16, span, span)
         return jax.vmap(lambda nd, d: rasterize_tiled(
             nd, d, faces, res, 16, None,
-            cull_backface))(verts_ndc, verts_depth)
+            cull_backface, side_list=B))(verts_ndc, verts_depth)
     return jax.vmap(lambda nd, d: rasterize(nd, d, faces, res, chunk))(
         verts_ndc, verts_depth)
 

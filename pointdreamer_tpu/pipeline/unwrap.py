@@ -607,7 +607,20 @@ def bake_atlas(vertices, faces, uvs, face_uv_idx, resolution: int,
     depth = jnp.ones((uvs_j.shape[0],), jnp.float32)
     fuv = jnp.asarray(face_uv_idx, jnp.int32)
     if resolution % 16 == 0:
-        out = orast.rasterize_tiled(ndc, depth, fuv, resolution)
+        # size the binner's big-face side list from the CONCRETE uv layout:
+        # flat-feature meshes legitimately carry hundreds of uv triangles
+        # wider than the binning footprint (the default 64-slot list
+        # silently dropped the excess -> uncovered atlas regions)
+        tile = 16
+        span = orast._footprint_span(resolution, tile)
+        uv_np = np.asarray(uvs, np.float64)
+        tri = uv_np[np.asarray(face_uv_idx)] * resolution
+        tspan = (np.floor(tri.max(1) / tile)
+                 - np.floor(tri.min(1) / tile))          # [F,2] in tiles
+        nbig = int((tspan.max(1) > span - 1).sum())
+        B = max(64, -(-nbig // 64) * 64)                 # 64-bucketed
+        out = orast.rasterize_tiled(ndc, depth, fuv, resolution,
+                                    side_list=B)
     else:
         out = orast.rasterize(ndc, depth, fuv, resolution, chunk)
     mask = out.face_id >= 0

@@ -77,3 +77,34 @@ def test_backface_culling_preserves_closed_mesh_render():
     # near-identical coverage (grazing edge-on faces may differ) and winners
     assert ((fa >= 0) != (fb >= 0)).mean() < 0.005
     assert (fa != fb).mean() < 0.01
+
+
+def test_many_big_faces_side_list():
+    """A layout with hundreds of footprint-exceeding triangles must not
+    lose coverage: the fixed 64-slot side list silently dropped the
+    excess (flat-feature meshes -> uncovered atlas/view regions)."""
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.ops import raster as R
+
+    rng = np.random.default_rng(0)
+    res = 256
+    n_tri = 200
+    # large triangles (~1/3 of the screen each) scattered everywhere
+    c = rng.uniform(-0.8, 0.8, (n_tri, 1, 2))
+    offs = rng.uniform(-0.45, 0.45, (n_tri, 3, 2))
+    verts = (c + offs).reshape(-1, 2).astype(np.float32)
+    faces = np.arange(3 * n_tri, dtype=np.int64).reshape(-1, 3)
+    depth = rng.uniform(1.0, 2.0, (len(verts),)).astype(np.float32)
+
+    nd = jnp.asarray(verts)[None]
+    dd = jnp.asarray(depth)[None]
+    out_tiled = R.rasterize_views(nd, dd, jnp.asarray(faces), res)
+    out_brute = R.rasterize(jnp.asarray(verts), jnp.asarray(depth),
+                            jnp.asarray(faces, jnp.int32), res)
+    fa = np.asarray(out_tiled.face_id[0])
+    fb = np.asarray(out_brute.face_id)
+    assert (fb >= 0).mean() > 0.5          # scene covers most pixels
+    # identical coverage and face selection
+    np.testing.assert_array_equal(fa >= 0, fb >= 0)
+    assert (fa == fb).mean() > 0.999
