@@ -138,7 +138,8 @@ def _face_coefficients(tri_xy: jnp.ndarray, tri_z: jnp.ndarray):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("res", "cull_backface", "interpret"))
+                   static_argnames=("res", "cull_backface", "interpret",
+                                    "side_list"))
 def rasterize_views_binned_pallas(
     verts_ndc: jnp.ndarray,    # [V, N, 2]
     verts_depth: jnp.ndarray,  # [V, N]
