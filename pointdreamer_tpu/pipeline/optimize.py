@@ -62,53 +62,63 @@ def precompute_view_uv_maps(
     return uv_map, fg
 
 
-def _bilinear_tables(uv_map, R: int):
-    """Precompute the fixed bilinear sampling structure: corner texel ids
-    [P,4], weights [P,4], and the sorted-run layout that lets the
-    transpose (gradient) be computed with cumsum+gathers instead of a
-    scatter-add (XLA TPU scatters serialize on popular texels)."""
+def _bilinear_base_tables(uv_map, R: int):
+    """Base texel id (top-left corner) [P] and corner weights [P,4] in
+    corner order (base, base+1, base+R, base+R+1).
+
+    TPU gathers cost ~5.7 ns per INDEX regardless of row width (measured
+    through honest non-hoistable microbenches), so the four corners are
+    not fetched with a [P,4] index table; instead the loop widens the
+    atlas rows to 12 (all four corners' RGB side by side via rolls) and
+    issues ONE index per pixel.  At the clamp boundary (x0 == R-1 or
+    y0 == R-1) the roll wraps to the wrong texel, but the matching
+    weight is exactly zero there (fx/fy == 0 after the clip), so the
+    math is identical to clamped corner indices."""
     uv = uv_map.reshape(-1, 2)
     x = jnp.clip(uv[:, 0] * R - 0.5, 0.0, R - 1.0)
     y = jnp.clip(uv[:, 1] * R - 0.5, 0.0, R - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, R - 1)
-    y1 = jnp.minimum(y0 + 1, R - 1)
     fx = x - x0
     fy = y - y0
-    idx = jnp.stack([y0 * R + x0, y0 * R + x1,
-                     y1 * R + x0, y1 * R + x1], axis=1)       # [P,4]
-    w = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
-                   (1 - fx) * fy, fx * fy], axis=1)           # [P,4]
-
-    flat_idx = idx.reshape(-1)
-    order = jnp.argsort(flat_idx)
-    # run boundaries from per-texel counts (one bincount scatter, paid
-    # once per shape) instead of two 1M-query searchsorted binary searches
-    counts = jnp.bincount(flat_idx, length=R * R)
-    starts = jnp.cumsum(counts) - counts
-    ends = starts + counts - 1                      # -1 when count == 0
-    return idx, w, order, starts.astype(jnp.int32), ends.astype(jnp.int32)
+    base = y0 * R + x0                                        # [P]
+    w4 = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                    (1 - fx) * fy, fx * fy], axis=1)          # [P,4]
+    return base, w4
 
 
-_bilinear_tables_jit = jax.jit(lambda uv, R: _bilinear_tables(uv, R),
-                               static_argnames=("R",))
+def _corner_rows(atlas_flat, R: int):
+    """[R*R,3] -> [R*R,12]: row i holds the RGB of texels i, i+1, i+R,
+    i+R+1 so a single row gather fetches all four bilinear corners."""
+    return jnp.concatenate(
+        [atlas_flat,
+         jnp.roll(atlas_flat, -1, axis=0),
+         jnp.roll(atlas_flat, -R, axis=0),
+         jnp.roll(atlas_flat, -R - 1, axis=0)], axis=1)
 
 
-def _transpose_to_atlas(g_pix, w, order, starts, ends):
-    """Scatter-free A^T g: sort-order permute + cumsum + run-difference
-    gathers.  g_pix [P,3] pixel gradients -> [R*R,3] atlas gradients.
-    Channel-major layout: cumsum/gather on [3, 4P] so the minor dim spans
-    the 128 lanes (a 3-wide minor dim wastes 125/128 of the VPU)."""
-    contrib = (g_pix[:, None, :] * w[..., None]).reshape(-1, 3)   # [4P,3]
-    T = contrib[order].T                                          # [3,4P]
-    c = jnp.cumsum(T, axis=1)
-    has = ends >= starts
-    hi = c[:, jnp.maximum(ends, 0)]
-    lo_idx = starts - 1
+def _grad_to_atlas(g_pix, w4, tb, starts_tb, ends_tb, R: int):
+    """Transpose of the fused-corner forward: pixel gradients [K,3]
+    (SORTED by base texel) -> dense atlas gradient [R*R,3].
+
+    Per-base-texel sums via cumsum + run-boundary gathers (scatter-adds
+    serialize on popular texels), one 12-wide scatter-SET of the touched
+    base rows (indices are unique, so no serialization), then the four
+    corner lanes shift back into place with rolls."""
+    K = g_pix.shape[0]
+    contrib = (g_pix[:, None, :] * w4[..., None]).reshape(K, 12)
+    c = jnp.cumsum(contrib.T, axis=1)                         # [12,K]
+    has = ends_tb >= starts_tb
+    hi = c[:, jnp.maximum(ends_tb, 0)]
+    lo_idx = starts_tb - 1
     lo = jnp.where((lo_idx >= 0)[None, :], c[:, jnp.maximum(lo_idx, 0)],
                    0.0)
-    return jnp.where(has[None, :], hi - lo, 0.0).T
+    g_tb = jnp.where(has[None, :], hi - lo, 0.0).T            # [TB,12]
+    Gf = jnp.zeros((R * R, 12), g_pix.dtype).at[tb].set(g_tb, mode="drop")
+    return (Gf[:, 0:3]
+            + jnp.roll(Gf[:, 3:6], 1, axis=0)
+            + jnp.roll(Gf[:, 6:9], R, axis=0)
+            + jnp.roll(Gf[:, 9:12], R + 1, axis=0))
 
 
 def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
@@ -144,59 +154,74 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
     tgt_sel = jnp.where(valid[:, None], tgt_flat[safe], 0.0)
     msk_sel = jnp.where(valid, mask_flat[safe], 0.0)[:, None]
 
-    # --- texel compaction: only texels touched by some corner ever get a
-    # nonzero gradient, and under Adam a never-touched texel keeps m=v=0
-    # and is never updated — so the optimization state, the run-boundary
-    # gathers, and the Adam update all shrink from R^2 to the touched set.
-    idx, w, order, starts, ends = _bilinear_tables_jit(uv_sel, R)
-    has_run = ends >= starts
-    n_texels = int(jnp.sum(has_run))                # host sync 2
-    KT = min(max(((n_texels + bucket - 1) // bucket) * bucket, bucket),
-             R * R)
-    # fill with R*R: keeps the list sorted for searchsorted, and the
-    # final scatter-back drops out-of-range rows
-    (tsel,) = jnp.nonzero(has_run, size=KT, fill_value=R * R)
-    tvalid = tsel < R * R
-    tsafe = jnp.minimum(tsel, R * R - 1)
-    starts_c = jnp.where(tvalid, starts[tsafe], 0)
-    ends_c = jnp.where(tvalid, ends[tsafe], -1)     # has=False for pads
-    idx_c = jnp.searchsorted(tsel, idx).astype(jnp.int32)   # [K,4]
-    a0_c = atlas0.reshape(-1, 3)[tsafe]
+    # sort the active pixels by base texel ONCE so the per-iteration
+    # gradient reduction is a cumsum over already-contiguous runs (no
+    # in-loop permute), and bucket the touched-base-texel set to a
+    # static size for the run-boundary gathers
+    base, w4, order, tb, starts_tb, ends_tb = _sorted_pixel_tables(
+        uv_sel, R, bucket, K)
+    tgt_s = tgt_sel[order]
+    msk_s = msk_sel[order]
 
-    atlas_c, losses = _optimize_loop_compact(
-        a0_c, tgt_sel, msk_sel, idx_c, w, order, starts_c, ends_c, denom,
-        lr, iterations)
-    atlas = atlas0.reshape(-1, 3).at[tsel].set(atlas_c, mode="drop")
-    return atlas.reshape(atlas0.shape), losses
+    atlas_flat, losses = _optimize_loop_fused(
+        atlas0.reshape(-1, 3), tgt_s, msk_s, base, w4, tb, starts_tb,
+        ends_tb, denom, lr, iterations, R)
+    return atlas_flat.reshape(atlas0.shape), losses
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def _optimize_loop_compact(a0_c, tgt_sel, msk_sel, idx_c, w, order,
-                           starts_c, ends_c, denom, lr, iterations: int):
-    """Compact Adam loop over (active pixels) x (touched texels): forward
-    is 4 gathers, backward is the scatter-free transpose above (XLA TPU
-    scatter-adds serialize on popular texels and cost ~10x this)."""
+def _sorted_pixel_tables(uv_sel, R: int, bucket: int, K: int):
+    base, w4 = _bilinear_base_tables(uv_sel, R)
+    order = jnp.argsort(base)
+    base = base[order]
+    w4 = w4[order]
+    counts = jnp.bincount(base, length=R * R)       # one scatter, paid once
+    starts_full = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    has = counts > 0
+    n_tb = int(jnp.sum(has))                        # host sync 2
+    TB = min(max(((n_tb + bucket - 1) // bucket) * bucket, bucket),
+             min(K, R * R))
+    # fill R*R: the gradient scatter drops out-of-range pad rows
+    (tb,) = jnp.nonzero(has, size=TB, fill_value=R * R)
+    tb_safe = jnp.minimum(tb, R * R - 1)
+    in_range = tb < R * R
+    starts_tb = jnp.where(in_range, starts_full[tb_safe], 1)
+    ends_tb = jnp.where(
+        in_range,
+        starts_full[tb_safe] + counts[tb_safe].astype(jnp.int32) - 1,
+        -1)                                         # pads: ends < starts
+    return base, w4, order, tb, starts_tb, ends_tb
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "R"))
+def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, tb, starts_tb,
+                         ends_tb, denom, lr, iterations: int, R: int):
+    """Adam loop over active pixels with the fused-corner layout: forward
+    is ONE K-index gather of 12-wide rows, backward is cumsum +
+    run-difference + one unique-index scatter-set (see _grad_to_atlas).
+    Adam runs on the full flat atlas — never-touched texels keep
+    g = m = v = 0 and are left bit-identical."""
     sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
                                     staircase=True)
     opt = optax.adam(sched)
 
     def step(carry, _):
-        atlas_c, opt_state = carry
-        rendered = (atlas_c[idx_c] * w[..., None]).sum(axis=1)   # [K,3]
+        atlas, opt_state = carry                              # [R*R,3]
+        crn = _corner_rows(atlas, R)[base]                    # [K,12]
+        rendered = (crn.reshape(-1, 4, 3) * w4[..., None]).sum(axis=1)
         clipped = jnp.clip(rendered, 0.0, 1.0)
-        diff = clipped - tgt_sel
-        loss = (jnp.abs(diff) * msk_sel).sum() / denom
+        diff = clipped - tgt_s
+        loss = (jnp.abs(diff) * msk_s).sum() / denom
         # d (sum(|clip(r)-t| * m) / denom) / dr
-        g_pix = (jnp.sign(diff) * msk_sel
+        g_pix = (jnp.sign(diff) * msk_s
                  * ((rendered > 0.0) & (rendered < 1.0))) / denom
-        g = _transpose_to_atlas(g_pix, w, order, starts_c, ends_c)
+        g = _grad_to_atlas(g_pix, w4, tb, starts_tb, ends_tb, R)
         updates, opt_state = opt.update(g, opt_state)
-        atlas_c = optax.apply_updates(atlas_c, updates)
-        return (atlas_c, opt_state), loss
+        atlas = optax.apply_updates(atlas, updates)
+        return (atlas, opt_state), loss
 
-    (atlas_c, _), losses = jax.lax.scan(
-        step, (a0_c, opt.init(a0_c)), None, length=iterations)
-    return atlas_c, losses
+    (atlas, _), losses = jax.lax.scan(
+        step, (a0, opt.init(a0)), None, length=iterations)
+    return atlas, losses
 
 
 def optimize_color(

@@ -10,18 +10,38 @@ def test_transpose_matches_autodiff(rng):
     R = 16
     P = 200
     uv = jnp.asarray(rng.random((1, P, 1, 2)).astype(np.float32))
-    idx, w, order, starts, ends = popt._bilinear_tables(uv, R)
+    base, w4, order, tb, starts_tb, ends_tb = popt._sorted_pixel_tables(
+        uv.reshape(-1, 2), R, bucket=32, K=P)
     g_pix = jnp.asarray(rng.standard_normal((P, 3)).astype(np.float32))
+    g_sorted = g_pix[order]
 
-    got = popt._transpose_to_atlas(g_pix, w, order, starts, ends)
+    got = popt._grad_to_atlas(g_sorted, w4, tb, starts_tb, ends_tb, R)
 
-    # reference: autodiff through the gather forward
+    # reference: autodiff through the fused-corner gather forward
     def fwd(flat):
-        return ((flat[idx] * w[..., None]).sum(axis=1) * g_pix).sum()
+        crn = popt._corner_rows(flat, R)[base]
+        rendered = (crn.reshape(-1, 4, 3) * w4[..., None]).sum(axis=1)
+        return (rendered * g_sorted).sum()
 
     want = jax.grad(fwd)(jnp.zeros((R * R, 3)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_fused_forward_matches_clamped_bilinear(rng):
+    # the roll-wrap at x0==R-1 / y0==R-1 must be exactly cancelled by the
+    # zero weights there, including for uvs that land outside [0,1]
+    R = 8
+    uv = jnp.asarray(rng.uniform(-0.2, 1.2, (500, 2)).astype(np.float32))
+    atlas = jnp.asarray(rng.random((R * R, 3)).astype(np.float32))
+    base, w4 = popt._bilinear_base_tables(uv, R)
+    crn = popt._corner_rows(atlas, R)[base]
+    got = (crn.reshape(-1, 4, 3) * w4[..., None]).sum(axis=1)
+
+    from pointdreamer_tpu.ops.image import bilinear_sample
+    want = bilinear_sample(atlas.reshape(R, R, 3), uv[None, :, :])[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_optimize_loop_converges(rng):
