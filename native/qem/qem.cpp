@@ -92,6 +92,11 @@ struct Mesh {
   std::vector<int> remap;           // union-find for collapsed verts
   std::vector<std::vector<int>> vfaces;  // incident face ids
   std::vector<char> fdead;
+  // epoch-stamped scratch marks (hot path runs per CANDIDATE, including
+  // rejected ones — unordered_set allocations there dominated the
+  // profile; a stamped array is a compare + store)
+  std::vector<uint32_t> vmark_a, vmark_b, fmark;
+  uint32_t epoch = 0;
 
   int find(int v) {
     while (remap[v] != v) { remap[v] = remap[remap[v]]; v = remap[v]; }
@@ -120,36 +125,42 @@ void face_plane(const Mesh& M, int f, double* abcd) {
 // deep decimation (e.g. 500k -> 10k) creates fins: edges shared by >2
 // faces, which downstream chart growing/packing cannot handle.
 bool link_condition_ok(Mesh& M, int a, int b) {
-  std::unordered_set<int> na, opposite;
-  int edge_faces = 0;
+  // epoch e: vmark_a[v]==e      -> v is a neighbor of a (na)
+  //          vmark_a[v]==e+1    -> ...and already counted as common
+  //          vmark_b[v]==e      -> v is an opposite vertex of an (a,b) face
+  M.epoch += 2;
+  const uint32_t e = M.epoch;
+  int edge_faces = 0, n_opposite = 0;
   for (int f : M.vfaces[a]) {
     if (M.fdead[f]) continue;
     int vs[3];
     for (int j = 0; j < 3; ++j) vs[j] = M.find((int)M.F[3*f+j]);
     bool has_b = (vs[0]==b || vs[1]==b || vs[2]==b);
     for (int j = 0; j < 3; ++j) {
-      if (vs[j] != a && vs[j] != b) {
-        na.insert(vs[j]);
-        if (has_b) opposite.insert(vs[j]);
+      int v = vs[j];
+      if (v != a && v != b) {
+        M.vmark_a[v] = e;
+        if (has_b && M.vmark_b[v] != e) { M.vmark_b[v] = e; ++n_opposite; }
       }
     }
     if (has_b) ++edge_faces;
   }
   if (edge_faces > 2) return false;       // edge already non-manifold
   int common = 0;
-  std::unordered_set<int> seen;
   for (int f : M.vfaces[b]) {
     if (M.fdead[f]) continue;
     int vs[3];
     for (int j = 0; j < 3; ++j) vs[j] = M.find((int)M.F[3*f+j]);
     for (int j = 0; j < 3; ++j) {
       int v = vs[j];
-      if (v != a && v != b && na.count(v) && seen.insert(v).second)
+      if (v != a && v != b && M.vmark_a[v] == e) {
+        M.vmark_a[v] = e + 1;             // count each common vertex once
         ++common;
+      }
     }
   }
   // every common neighbor must be an opposite vertex of a dying face
-  return common == (int)opposite.size() && common == edge_faces;
+  return common == n_opposite && common == edge_faces;
 }
 
 bool collapse_would_flip(Mesh& M, int v_keep, int v_gone,
@@ -206,6 +217,10 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
   for (int i = 0; i < nv; ++i) M.remap[i] = i;
   M.vfaces.assign(nv, {});
   M.fdead.assign(nf, 0);
+  M.vmark_a.assign(nv, 0);
+  M.vmark_b.assign(nv, 0);
+  M.fmark.assign(nf, 0);
+  M.epoch = 2;
 
   for (int f = 0; f < nf; ++f) {
     double pl[4]; face_plane(M, f, pl);
@@ -295,13 +310,16 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
     M.Q[a] = q;
     M.version[a]++; M.version[b]++;
 
-    // merge face lists, kill degenerate faces
+    // merge face lists, kill degenerate faces (fresh epoch: fmark dedups
+    // faces, vmark_a dedups the neighbor set for re-pushes)
+    M.epoch += 2;
+    const uint32_t ec = M.epoch;
     std::vector<int> merged;
     merged.reserve(M.vfaces[a].size() + M.vfaces[b].size());
-    std::unordered_set<int> dedup;
     for (int vv : {a, b}) {
       for (int f : M.vfaces[vv]) {
-        if (M.fdead[f] || !dedup.insert(f).second) continue;
+        if (M.fdead[f] || M.fmark[f] == ec) continue;
+        M.fmark[f] = ec;
         int64_t x = M.find(M.F[3*f]), y = M.find(M.F[3*f+1]),
                 z = M.find(M.F[3*f+2]);
         if (x == y || y == z || x == z) {
@@ -315,14 +333,15 @@ int qem_simplify(const float* verts, int nv, const int64_t* faces, int nf,
     M.vfaces[b].clear();
 
     // re-push incident edges
-    std::unordered_set<int> nbrs;
     for (int f : M.vfaces[a]) {
       for (int j = 0; j < 3; ++j) {
         int v = M.find((int)M.F[3*f+j]);
-        if (v != a) nbrs.insert(v);
+        if (v != a && M.vmark_a[v] != ec) {
+          M.vmark_a[v] = ec;
+          push_edge(a, v);
+        }
       }
     }
-    for (int v : nbrs) push_edge(a, v);
   }
     if (std::getenv("QEM_DEBUG"))
       std::fprintf(stderr,

@@ -124,24 +124,22 @@ def orient_normals_mst(points: np.ndarray, normals: np.ndarray,
     seed = int(np.argmax(pts[:, 1]))
     order, preds = breadth_first_order(mst, seed, directed=False)
 
-    # per-node edge sign vs parent (original normals), then propagate the
-    # cumulative product level-by-level: BFS order is nondecreasing in
-    # depth, so each sweep's parents are already finalized
+    # s(node) = product of edge signs along the tree path to the seed.
+    # As bits (negative edge -> 1) that's an XOR-prefix over the tree,
+    # computed by pointer doubling in O(n log depth) — an MST of a point
+    # cloud is stringy (depth ~1700 on the 30k demo clouds), so the naive
+    # level-by-level sweep costs 1700 passes where doubling costs ~11
     child = order[preds[order] >= 0]
-    par = preds[child]
-    edge_sign = np.where((nrm[child] * nrm[par]).sum(-1) < 0, -1.0, 1.0)
-    sign = np.ones(n)
-    done = np.zeros(n, bool)
-    done[seed] = True
-    pending = np.arange(len(child))
-    while len(pending):
-        ready = done[par[pending]]
-        if not ready.any():
-            break                      # disconnected components keep +1
-        sel = pending[ready]
-        sign[child[sel]] = sign[par[sel]] * edge_sign[sel]
-        done[child[sel]] = True
-        pending = pending[~ready]
+    par_of_child = preds[child]
+    parent = np.arange(n)              # root/unreached nodes point at self
+    parent[child] = par_of_child
+    bit = np.zeros(n, np.int8)
+    bit[child] = (nrm[child] * nrm[par_of_child]).sum(-1) < 0
+    while np.any(parent != parent[parent]):
+        bit ^= bit[parent]
+        parent = parent[parent]
+    bit ^= bit[parent]                 # fold in the final parent's bit
+    sign = np.where(bit, -1.0, 1.0)
     if sign[seed] * nrm[seed, 1] < 0:
         sign = -sign
     return (nrm * sign[:, None]).astype(np.float32)
