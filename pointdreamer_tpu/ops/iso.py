@@ -177,6 +177,29 @@ def _emit_triangles_bucket(values, axis_coords, cells, res):
     return vpos, swap_last(lo), swap_last(hi), tri_valid
 
 
+@functools.partial(jax.jit, static_argnames=("res",))
+def _mask_and_count(values, res):
+    flat = active_cell_mask(values, res).reshape(-1)
+    return flat, flat.sum()
+
+
+@functools.partial(jax.jit, static_argnames=("res", "size"))
+def _emit_from_mask(values, axis_coords, mask_flat, n_active, res,
+                    size: int):
+    """Device-side cell compaction + triangle emission + valid count.
+
+    Stable argsort on !mask puts active cell ids first in ascending
+    order (replacing a host nonzero over the 2 MB mask transfer); the
+    valid-triangle count is computed in the same dispatch so the host
+    sync that sizes the output gather overlaps the emission itself."""
+    order = jnp.argsort(jnp.logical_not(mask_flat), stable=True)
+    cells = jnp.where(jnp.arange(size) < n_active,
+                      order[:size].astype(jnp.int32), -1)
+    vpos, eklo, ekhi, valid = _emit_triangles(values, axis_coords, cells,
+                                              res)
+    return vpos, eklo, ekhi, valid, valid.sum()
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def _gather_valid(vpos, eklo, ekhi, valid, size: int):
     """Compact valid triangles to the front (device-side): returns
@@ -207,22 +230,22 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
     """
     res = values.shape[0]
     bucket = _EMIT_BUCKET
-    vals_j = jnp.asarray(values, jnp.float32)
-    mask = np.asarray(active_cell_mask(vals_j, res))
-    cells = np.nonzero(mask.reshape(-1))[0].astype(np.int32)
-    if len(cells) == 0:
+    vals_j = jnp.asarray(values, jnp.float32)   # no-op for device fields
+    mask_flat, n_active_d = _mask_and_count(vals_j, res)
+    n_active = int(n_active_d)                  # host sync 1
+    if n_active == 0:
         empty = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64))
         return empty + (np.zeros((0,), np.int64),) if return_edge_keys \
             else empty
-    pad = (-len(cells)) % bucket
-    cells_p = np.concatenate([cells, -np.ones(pad, np.int32)])
+    A = max(bucket, -(-n_active // bucket) * bucket)
 
-    vpos, eklo, ekhi, valid = _emit_triangles(
-        vals_j, jnp.asarray(axis, jnp.float32), jnp.asarray(cells_p), res)
+    vpos, eklo, ekhi, valid, count_d = _emit_from_mask(
+        vals_j, jnp.asarray(axis, jnp.float32), mask_flat, n_active_d,
+        res, A)
     # compact ON DEVICE before the host transfer: the raw [A,6,2,...]
     # buffers are ~20 MB (dominated pipeline cost through the tunneled
     # TPU); the valid triangles are ~1 MB
-    count = int(valid.sum())
+    count = int(count_d)                        # host sync 2
     size = max(bucket, -(-count // bucket) * bucket)
     tri_pos_d, tri_lo_d, tri_hi_d = _gather_valid(vpos, eklo, ekhi,
                                                   valid, size)

@@ -196,8 +196,11 @@ def reconstruct_mesh(
         normals = osdf.estimate_oriented_normals(pts)
         span = GRID_HI - GRID_LO
         pts01 = (pts - GRID_LO) / span
-        field = np.asarray(osdf.poisson_indicator_grid(
-            jnp.asarray(pts01), jnp.asarray(normals), res=grid_res))
+        # stays ON DEVICE: no refine pass reads it (field_fn is None) and
+        # marching_tets consumes device fields directly — the np round
+        # trip cost 2x8 MB through the tunnel
+        field = osdf.poisson_indicator_grid(
+            jnp.asarray(pts01), jnp.asarray(normals), res=grid_res)
     elif geo_from == "hoppe":
         normals = osdf.estimate_oriented_normals(pts)
         pj, nj = jnp.asarray(pts), jnp.asarray(normals)
