@@ -57,6 +57,9 @@ class PipelineConfig:
     # count divides the device count — TPU replacement for the reference's
     # torch DataParallel (diffusion.py:456)
     ddnm_data_parallel: bool = True
+    # w8a8 UNet torso (int8 MXU passes, ~1.6x faster denoise loop on v5e);
+    # quality is approximate — off by default for reference parity
+    ddnm_quant_int8: bool = False
 
     # ---- cameras (reference configs/default.yaml:33-37) ------------------
     camera_distribution: str = "fibonacci_sphere"

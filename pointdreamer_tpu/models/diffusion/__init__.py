@@ -23,7 +23,7 @@ def init_unet_params(model: UNetModel, rng_key=None, image_size: int = 256):
 def load_inpainter(checkpoint_path=None, logger=None,
                    t_sampling: int = 100, eta: float = 0.85,
                    seed: int = 1234, model_kwargs=None,
-                   mesh=None) -> DDNMInpainter:
+                   mesh=None, quant_int8: bool = False) -> DDNMInpainter:
     """Build the DDNM inpainter (reference prepare(), demo.py:322-328).
 
     With a checkpoint path, torch weights are converted; without one the
@@ -33,7 +33,7 @@ def load_inpainter(checkpoint_path=None, logger=None,
     texture_gen_method 'nearest'/'linear' when no checkpoint exists.
     """
     model = (UNetModel(**model_kwargs) if model_kwargs
-             else imagenet256_unet())
+             else imagenet256_unet(quant=quant_int8))
     if checkpoint_path:
         from .convert import load_torch_checkpoint
 
@@ -47,5 +47,12 @@ def load_inpainter(checkpoint_path=None, logger=None,
                       "meaningless (use nearest/linear instead)")
         # param shapes are image-size independent; init small & fast
         init_size = 16 * 2 ** (len(model.channel_mult) - 1)
-        params = init_unet_params(model, image_size=init_size)
+        fp_model = (model.clone(quant=False) if quant_int8 else model)
+        params = init_unet_params(fp_model, image_size=init_size)
+    if quant_int8:
+        from .unet import quantize_unet_params
+
+        if logger:
+            logger.info("quantizing UNet torso to w8a8 (int8 MXU)")
+        params = quantize_unet_params(params)
     return DDNMInpainter(model, params, t_sampling, eta, seed, mesh=mesh)

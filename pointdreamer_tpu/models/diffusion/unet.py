@@ -45,6 +45,78 @@ def _norm(name: str):
                         name=name)
 
 
+class QConv8(nn.Module):
+    """w8a8 conv: per-output-channel int8 weights (pre-quantized by
+    `quantize_unet_params`), dynamic per-tensor int8 activations, int32
+    MXU accumulation, fp32 dequant.  Same param path layout as nn.Conv
+    (module_name/{kernel_q,kernel_s,bias}) so the tree transform is
+    mechanical.  v5e int8 peak is 2x bf16; measured conv throughput
+    275 TOP/s vs 162 TFLOP/s bf16 (see README)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (kh, kw, cin, self.features), jnp.int8)
+        ks = self.param("kernel_s", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        ax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
+        p = self.padding
+        y = jax.lax.conv_general_dilated(
+            xq, kq, self.strides, [(p, p), (p, p)], dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (ax * ks) + b
+        return y.astype(self.dtype)
+
+
+class QDense8(nn.Module):
+    """w8a8 dense twin of QConv8 (attention qkv/proj)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (cin, self.features), jnp.int8)
+        ks = self.param("kernel_s", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        ax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        xq = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, kq, (((xq.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (ax * ks) + b
+        return y.astype(self.dtype)
+
+
+def _conv(quant: bool, features, kernel_size, name, strides=(1, 1),
+          padding=1, dtype=jnp.bfloat16, kernel_init=None):
+    """nn.Conv in fp mode, QConv8 in w8a8 mode — identical param paths."""
+    if quant:
+        return QConv8(features, tuple(kernel_size), tuple(strides),
+                      padding, dtype=dtype, name=name)
+    kw = {"kernel_init": kernel_init} if kernel_init is not None else {}
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   dtype=dtype, name=name, **kw)
+
+
 class ResBlock(nn.Module):
     """reference unet.py:143-257."""
 
@@ -54,6 +126,7 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, emb):
@@ -66,8 +139,8 @@ class ResBlock(nn.Module):
         elif self.down:
             h = nn.avg_pool(h, (2, 2), (2, 2))
             x = nn.avg_pool(x, (2, 2), (2, 2))
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="in_conv")(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), "in_conv",
+                  dtype=self.dtype)(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm
@@ -81,12 +154,12 @@ class ResBlock(nn.Module):
             h = h + emb_out
             h = _norm("out_norm")(h).astype(self.dtype)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), "out_conv",
+                  dtype=self.dtype, kernel_init=nn.initializers.zeros)(h)
 
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="skip")(x)
+            x = _conv(self.quant, self.out_channels, (1, 1), "skip",
+                      padding=0, dtype=self.dtype)(x)
         return x.astype(self.dtype) + h
 
 
@@ -100,6 +173,7 @@ class AttentionBlock(nn.Module):
 
     num_head_channels: int = 64
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -107,7 +181,8 @@ class AttentionBlock(nn.Module):
         heads = c // self.num_head_channels
         hd = self.num_head_channels
         y = _norm("norm")(x.reshape(b, h * w, c)).astype(self.dtype)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y)
+        qkv = (QDense8(3 * c, dtype=self.dtype, name="qkv") if self.quant
+               else nn.Dense(3 * c, dtype=self.dtype, name="qkv"))(y)
         # legacy order: per head, channels are [q | k | v]
         qkv = qkv.reshape(b, h * w, heads, 3 * hd)
         q, k, v = jnp.split(qkv, 3, axis=-1)            # [b,t,heads,hd]
@@ -117,30 +192,33 @@ class AttentionBlock(nn.Module):
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         a = jnp.einsum("bhts,bshd->bthd", weights.astype(self.dtype), v)
         a = a.reshape(b, h * w, c)
-        out = nn.Dense(c, dtype=self.dtype,
-                       kernel_init=nn.initializers.zeros, name="proj")(a)
+        out = (QDense8(c, dtype=self.dtype, name="proj") if self.quant
+               else nn.Dense(c, dtype=self.dtype,
+                             kernel_init=nn.initializers.zeros, name="proj"))(a)
         return x + out.reshape(b, h, w, c).astype(x.dtype)
 
 
 class Upsample(nn.Module):
     out_channels: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = _nearest_up2(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return _conv(self.quant, self.out_channels, (3, 3), "conv",
+                     dtype=self.dtype)(x)
 
 
 class Downsample(nn.Module):
     out_channels: int
     dtype: Any = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return _conv(self.quant, self.out_channels, (3, 3), "conv",
+                     strides=(2, 2), dtype=self.dtype)(x)
 
 
 def unet_plan(model_channels=256, num_res_blocks=2,
@@ -203,9 +281,11 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
     dtype: Any = jnp.bfloat16
+    quant: bool = False      # w8a8 torso (input/output convs stay fp)
 
     def _layer(self, kind, out_ch, flags, name):
         if kind == "conv":
+            # first conv: 3-channel input, negligible FLOPs — keep fp
             return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                            name=name)
         if kind == "res":
@@ -213,14 +293,16 @@ class UNetModel(nn.Module):
                             self.use_scale_shift_norm,
                             up=flags.get("up", False),
                             down=flags.get("down", False),
-                            dtype=self.dtype, name=name)
+                            dtype=self.dtype, quant=self.quant, name=name)
         if kind == "attn":
             return AttentionBlock(self.num_head_channels, dtype=self.dtype,
-                                  name=name)
+                                  quant=self.quant, name=name)
         if kind == "up":
-            return Upsample(out_ch, dtype=self.dtype, name=name)
+            return Upsample(out_ch, dtype=self.dtype, quant=self.quant,
+                            name=name)
         if kind == "down":
-            return Downsample(out_ch, dtype=self.dtype, name=name)
+            return Downsample(out_ch, dtype=self.dtype, quant=self.quant,
+                              name=name)
         raise ValueError(kind)
 
     @nn.compact
@@ -260,6 +342,43 @@ class UNetModel(nn.Module):
         return h
 
 
-def imagenet256_unet(dtype=jnp.bfloat16) -> UNetModel:
+def imagenet256_unet(dtype=jnp.bfloat16, quant: bool = False) -> UNetModel:
     """The demo's exact model (imagenet_256.yml:14-33)."""
-    return UNetModel(dtype=dtype)
+    return UNetModel(dtype=dtype, quant=quant)
+
+
+# ---------------------------------------------------------------------------
+# w8a8 param-tree transform
+
+# module names whose {kernel,bias} leaves stay floating point in quant mode
+_FP_MODULES = {"time_embed_0", "time_embed_2", "emb"}
+
+
+def quantize_unet_params(params: Dict, _path=()) -> Dict:
+    """fp param tree -> w8a8 param tree for `UNetModel(quant=True)`.
+
+    Every conv/dense kernel on the quantized torso is replaced by
+    {kernel_q: int8, kernel_s: f32 per-out-channel abs-max/127 scale,
+    bias: f32}; time embeddings, per-block emb projections, the first
+    input conv and the final fp32 out_conv keep their fp leaves.  The
+    output tree structure matches `UNetModel(quant=True).init` exactly
+    (asserted in tests/test_diffusion.py)."""
+    out = {}
+    for k, v in params.items():
+        if not isinstance(v, dict):
+            out[k] = v
+            continue
+        is_conv_site = (set(v) == {"kernel", "bias"}
+                        and k not in _FP_MODULES
+                        and not (len(_path) == 0 and k in ("out_conv",
+                                                           "input_0_0")))
+        if is_conv_site:
+            kern = v["kernel"].astype(jnp.float32)
+            red = tuple(range(kern.ndim - 1))
+            s = jnp.maximum(jnp.max(jnp.abs(kern), axis=red), 1e-12) / 127.0
+            q = jnp.clip(jnp.round(kern / s), -127, 127).astype(jnp.int8)
+            out[k] = {"kernel_q": q, "kernel_s": s,
+                      "bias": v["bias"].astype(jnp.float32)}
+        else:
+            out[k] = quantize_unet_params(v, _path + (k,))
+    return out

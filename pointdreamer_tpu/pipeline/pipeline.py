@@ -95,7 +95,8 @@ class Pipeline:
                     mesh = make_mesh(n_dev, tp=1)
                     logger.info(f"DDNM views sharded over {n_dev} devices")
                 inpainter = load_inpainter(cfg.diffusion_checkpoint, logger,
-                                           mesh=mesh)
+                                           mesh=mesh,
+                                           quant_int8=cfg.ddnm_quant_int8)
             else:
                 # the reference auto-downloads 256x256_diffusion_uncond.pt
                 # (diffusion.py:447-451); offline without a checkpoint a

@@ -204,3 +204,48 @@ def test_ddnm_matches_independent_reference_loop():
         x = np.sqrt(at_next) * x0_hat + sigma_t * (c1 * z + c2 * et)
     want = np.clip((x + 1) / 2, 0, 1)
     np.testing.assert_allclose(ours, want, atol=2e-5)
+
+
+def test_w8a8_quant_tree_structure_matches_init():
+    """quantize_unet_params output must be jit-compatible with the
+    quant=True model: identical tree paths, shapes, and dtypes."""
+    from pointdreamer_tpu.models.diffusion.unet import quantize_unet_params
+
+    fp = tiny_unet()
+    params = init_unet_params(fp, image_size=16)
+    qparams = quantize_unet_params(params)
+    qmodel = tiny_unet(quant=True)
+    ref = jax.eval_shape(
+        lambda: qmodel.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                            jnp.zeros((1,))))["params"]
+    got = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), qparams)
+    want = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), ref)
+    assert got == want
+
+
+def test_w8a8_quant_output_close_to_fp():
+    """w8a8 forward tracks the fp forward on a non-degenerate model: the
+    params are randomly initialized (fan-in scaled), so per-channel int8
+    weight quantization plus per-tensor activation quantization should
+    agree to a few percent relative error."""
+    from pointdreamer_tpu.models.diffusion.unet import quantize_unet_params
+
+    fp = tiny_unet()
+    # random params at a realistic scale (flax default lecun_normal init)
+    params = fp.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)),
+                     jnp.zeros((1,)))["params"]
+    # zero-init out layers make the output trivially zero; perturb them
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.sign(jnp.sin(jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape) + 0.1)
+        if p.ndim >= 2 else p, params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 2 - 1
+    t = jnp.asarray([10.0, 700.0])
+    ref = np.asarray(fp.apply({"params": params}, x, t))
+    q = tiny_unet(quant=True)
+    out = np.asarray(q.apply({"params": quantize_unet_params(params)}, x, t))
+    assert np.isfinite(out).all()
+    denom = np.abs(ref).mean() + 1e-6
+    rel = np.abs(out - ref).mean() / denom
+    assert rel < 0.15, rel
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.98, corr
