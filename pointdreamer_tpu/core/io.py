@@ -332,6 +332,54 @@ def save_rgb(img01: np.ndarray, path: str, flip_vertical: bool = False) -> None:
         path, compress_level=1)
 
 
+_ASYNC_IO = None
+_PENDING: list = []
+
+
+def _async_executor():
+    global _ASYNC_IO
+    if _ASYNC_IO is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ASYNC_IO = ThreadPoolExecutor(max_workers=1,
+                                       thread_name_prefix="pd-io")
+    return _ASYNC_IO
+
+
+def save_rgb_stack_async(imgs, paths, flip_vertical: bool = False) -> None:
+    """Write a [V,H,W,3] float image stack as V PNGs without stalling the
+    pipeline: quantize to uint8 on device, then ONE device->host transfer
+    + the PNG encodes run on a background thread (on the single-core
+    tunnel hosts the per-image save loop cost >1 s of round trips inside
+    a device-bound stage).  Call `flush_async_io()` before reading the
+    files back or returning to the user."""
+    if type(imgs).__module__.startswith("jax"):
+        import jax.numpy as jnp
+
+        imgs = jnp.clip(imgs * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+    def work(stack=imgs, ps=tuple(paths), flip=flip_vertical):
+        arr = np.asarray(stack)
+        for a, p in zip(arr, ps):
+            save_rgb(a, p, flip)
+
+    _PENDING.append(_async_executor().submit(work))
+
+
+def flush_async_io() -> None:
+    """Block until every queued async image write has completed;
+    re-raises the first writer error."""
+    err = None
+    while _PENDING:
+        fut = _PENDING.pop()
+        try:
+            fut.result()
+        except Exception as e:      # keep draining, report one
+            err = e
+    if err is not None:
+        raise err
+
+
 def load_rgb(path: str) -> np.ndarray:
     """Load PNG -> HWC float32 in [0,1] (RGB; alpha dropped)."""
     img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)

@@ -152,6 +152,16 @@ class Pipeline:
                 f"Point number > {cfg.max_points}! ({len(xyz)} points in "
                 f"{pc_file}); subsample the input first")  # demo.py:372-374
         xyz_n, center, scale = pgeo.normalize_points(xyz)
+        # HPR convex hulls depend only on (xyz_n, eyes): start them now on
+        # a host thread so they overlap the device-bound geometry/unwrap
+        # stages (~0.7 s serial on the single-core tunnel hosts)
+        hpr_future = None
+        if cfg.point_validation_by_o3d:
+            from ..ops import splat as osplat
+
+            hpr_future = pio._async_executor().submit(
+                osplat.hidden_point_removal_visibility, xyz_n,
+                np.asarray(self.rig.eyes), cfg.hidden_point_removal_radius)
         colors = jnp.asarray(rgb.astype(np.float32) / 255.0)
         if cfg.save_input_pc:
             pio.save_colored_pc_ply(xyz_n, np.asarray(colors),
@@ -215,7 +225,8 @@ class Pipeline:
             if cfg.point_validation_by_o3d:
                 proj = pproject.add_hpr_visibility(
                     proj, xyz_n, self.rig, cfg.hidden_point_removal_radius,
-                    n_total=len(xyz_p), depth_guard=cfg.hpr_depth_guard)
+                    n_total=len(xyz_p), depth_guard=cfg.hpr_depth_guard,
+                    precomputed=hpr_future.result())
             if cfg.refine_point_validation_by_remove_abnormal_depth:
                 proj = pproject.refine_point_validation(
                     proj, cfg.refine_res)
@@ -223,9 +234,10 @@ class Pipeline:
                 proj, colors, cfg.res, cfg.point_size, cfg.edge_point_size,
                 cfg.mask_ratio_thresh)
             tbox["out"] = sparse.sparse_imgs
-            for i in range(self.rig.num_views):
-                pio.save_rgb(sparse.sparse_imgs[i],
-                             os.path.join(others_dir, f"{i}_sparse.png"))
+            pio.save_rgb_stack_async(
+                sparse.sparse_imgs,
+                [os.path.join(others_dir, f"{i}_sparse.png")
+                 for i in range(self.rig.num_views)])
 
         # ---- inpaint (cached) -----------------------------------------
         with timer.stage("inpaint") as tbox:
@@ -238,8 +250,7 @@ class Pipeline:
                 inpainted = pinpaint.get_inpainted_images(
                     sparse.sparse_imgs, sparse.hard_mask0, sparse.hard_mask2,
                     cfg.texture_gen_method, self.inpainter)
-                for i, p in enumerate(cached):
-                    pio.save_rgb(inpainted[i], p)
+                pio.save_rgb_stack_async(inpainted, cached)
             tbox["out"] = inpainted
 
         # ---- unproject (NBF) ------------------------------------------
@@ -302,6 +313,8 @@ class Pipeline:
             obj_path = pexport.save_textured_mesh(
                 verts, uvs, faces, face_uv_idx, atlas_img, atlas["mask"],
                 out_root)
+            pio.flush_async_io()    # intermediates must be on disk before
+                                    # the stage caches are trusted
         if log:
             log.info("stage timings:\n" + timer.report())
         return obj_path

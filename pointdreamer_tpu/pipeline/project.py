@@ -102,7 +102,8 @@ def project_views(
 def add_hpr_visibility(proj: ProjectionData, points_np: np.ndarray,
                        rig: CameraRig, radius: float = 100.0,
                        n_total: int = None,
-                       depth_guard: float = 0.03) -> ProjectionData:
+                       depth_guard: float = 0.03,
+                       precomputed: np.ndarray = None) -> ProjectionData:
     """OR-in hidden-point-removal visibility (host convex hull), like the
     reference's point_validation_by_o3d option (demo.py:107-112).
     `n_total` pads the result when the device arrays are bucketed.
@@ -115,8 +116,13 @@ def add_hpr_visibility(proj: ProjectionData, points_np: np.ndarray,
     pixel.  Silhouette/hole pixels (mesh depth = inf) still pass — those
     are the points the OR exists to rescue.  Set 0 to reproduce the
     reference's exact behavior."""
-    hpr = osplat.hidden_point_removal_visibility(
-        points_np, np.asarray(rig.eyes), radius)
+    # `precomputed`: the hulls only depend on (points, eyes), so the
+    # pipeline starts them on a background thread at ingest — the
+    # single-core tunnel host computes them while the device runs the
+    # geometry/unwrap stages
+    hpr = (precomputed if precomputed is not None
+           else osplat.hidden_point_removal_visibility(
+               points_np, np.asarray(rig.eyes), radius))
     if n_total is not None and n_total > hpr.shape[1]:
         pad = np.zeros((hpr.shape[0], n_total - hpr.shape[1]), bool)
         hpr = np.concatenate([hpr, pad], axis=1)
