@@ -111,6 +111,15 @@ def test_batch_driver(tmp_path, demo_ply):
     # idempotent resume
     res2 = run_dataset(cfg, [demo_ply])
     assert list(res2.values())[0]["status"] == "cached"
+    # throughput mode: two shapes in flight on one device + jit cache
+    import shutil
+    ply_b = str(tmp_path / "copyb.ply")
+    shutil.copy(demo_ply, ply_b)
+    res3 = run_dataset(cfg, [demo_ply, ply_b], concurrency=2)
+    assert len(res3) == 2
+    assert res3[name]["status"] == "cached"
+    assert res3["copyb"]["status"] == "ok"
+    assert os.path.exists(res3["copyb"]["obj"])
 
 
 def test_multi_material_obj_export(tmp_path):
