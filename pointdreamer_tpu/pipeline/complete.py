@@ -31,6 +31,13 @@ def dilate_atlas(atlas_img: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return oimg.nearest_fill(atlas_img, mask)
 
 
+def _bucket(n: int, quantum: int = 4096) -> int:
+    """Round up to the padding quantum so the jitted stages below see a
+    small set of shapes across a dataset instead of one per mesh
+    (post-subdivision vertex/edge counts are unique per shape)."""
+    return max(quantum, -(-n // quantum) * quantum)
+
+
 @jax.jit
 def _gather_vertex_colors(atlas_img, atlas_painted, rows, cols):
     return atlas_img[rows, cols], atlas_painted[rows, cols]
@@ -38,10 +45,13 @@ def _gather_vertex_colors(atlas_img, atlas_painted, rows, cols):
 
 @jax.jit
 def _write_back_and_fill(atlas_img, atlas_painted, rows, cols,
-                         colors, prev_colors, was_painted):
+                         colors, prev_colors, was_painted, valid):
+    # pad entries (valid=False) re-write their gathered value at (0,0)
+    # and leave the painted mask untouched — a no-op scatter
+    keep = was_painted | ~valid
     atlas2 = atlas_img.at[rows, cols].set(
-        jnp.where(was_painted[:, None], prev_colors, colors))
-    painted2 = atlas_painted.at[rows, cols].set(True)
+        jnp.where(keep[:, None], prev_colors, colors))
+    painted2 = atlas_painted.at[rows, cols].max(valid)
     return oimg.nearest_fill(atlas2, painted2)
 
 
@@ -124,24 +134,41 @@ def complete_by_neighbors(
     # reversed so the first occurrence ends up stored
     vert_uv[flat_v[::-1]] = uv[flat_uv[::-1]]
 
+    # pad vertex/edge arrays to the bucket quantum: post-subdivision
+    # counts are unique per shape, and unpadded they would retrace every
+    # jitted stage below once per shape.  nv+1 guarantees a pad vertex
+    # exists for the edge padding to target.
+    nv = len(v)
+    nv_pad = _bucket(nv + 1)
     pix = np.clip((vert_uv * R).astype(np.int64), 0, R - 1)
-    rows = jnp.asarray(pix[:, 1])
-    cols = jnp.asarray(pix[:, 0])
+    pix_pad = np.zeros((nv_pad, 2), np.int32)
+    pix_pad[:nv] = pix
+    valid_np = np.zeros(nv_pad, bool)
+    valid_np[:nv] = True
+    rows = jnp.asarray(pix_pad[:, 1])
+    cols = jnp.asarray(pix_pad[:, 0])
+    valid = jnp.asarray(valid_np)
 
     vert_colors, vert_has = _gather_vertex_colors(
         atlas_img, atlas_painted, rows, cols)
+    vert_has = vert_has & valid
 
     edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], 0)
     edges = np.concatenate([edges, edges[:, ::-1]], 0)
-    src = jnp.asarray(edges[:, 0])
-    dst = jnp.asarray(edges[:, 1])
+    ne_pad = _bucket(len(edges))
+    # pad edges self-loop on a pad vertex: colored stays 0 there, so
+    # they contribute nothing to any segment sum
+    edges_pad = np.full((ne_pad, 2), nv, edges.dtype)
+    edges_pad[:len(edges)] = edges
+    src = jnp.asarray(edges_pad[:, 0])
+    dst = jnp.asarray(edges_pad[:, 1])
 
     colors, colored = _diffuse_vertex_colors(
         vert_colors, vert_has.astype(jnp.float32), src, dst,
-        invalid_idx_mask=~vert_has)
+        invalid_idx_mask=(~vert_has) & valid)
 
     # write diffused colors back at vertex texels, then nearest-fill the
     # whole atlas = unseen texels between vertices + gutters (reference
     # naive_inpainting nearest at :190-193)
     return _write_back_and_fill(atlas_img, atlas_painted, rows, cols,
-                                colors, vert_colors, vert_has)
+                                colors, vert_colors, vert_has, valid)
