@@ -193,6 +193,12 @@ def _emit_from_mask(values, axis_coords, mask_flat, n_active, res,
     valid-triangle count is computed in the same dispatch so the host
     sync that sizes the output gather overlaps the emission itself."""
     order = jnp.argsort(jnp.logical_not(mask_flat), stable=True)
+    if size > order.shape[0]:
+        # small grids: the bucket exceeds the total cell count — pad so
+        # the fixed-size gather below still type-checks (n_active <=
+        # total, so padded entries always resolve to -1)
+        order = jnp.concatenate(
+            [order, jnp.zeros((size - order.shape[0],), order.dtype)])
     cells = jnp.where(jnp.arange(size) < n_active,
                       order[:size].astype(jnp.int32), -1)
     vpos, eklo, ekhi, valid = _emit_triangles(values, axis_coords, cells,

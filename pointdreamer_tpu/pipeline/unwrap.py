@@ -313,6 +313,8 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
     order), descending ladder on the global scale until every chart fits,
     with a 90-degree rotation retry per chart.  Returns
     (scale px/world, offsets [C,2] px, rot90 [C] bool) in atlas_res px."""
+    from scipy import fft as sfft                 # float32-preserving FFTs
+
     G = min(atlas_res, 256)
     up = atlas_res / float(G)
     # cap the gutter for small atlases (tests bake at 64) where per-chart
@@ -327,6 +329,12 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
     S = 1
     while S < 2 * G:
         S *= 2                                   # FFT size (power of two)
+    # footprint (incl. gutter) at or below this edge length places by its
+    # bounding rect on an integral image instead of bitmap+FFT — the
+    # sliver-chart swarm regime (topological-noise meshes produce
+    # thousands of tiny charts; rect waste is bounded by TINY² texels,
+    # the raster+FFT cost it avoids dominates packing time)
+    TINY = 16
 
     def try_place(s, force=False):
         occ = np.zeros((G, G), np.float32)
@@ -335,7 +343,8 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
         shrink = np.ones(n)
         for c in order:
             placed = False
-            occ_f = np.fft.rfft2(occ, (S, S))     # hoisted: occ is fixed
+            occ_f = None                          # lazy: tiny charts skip it
+            integ = None                          # lazy integral image
             # per-chart shrink fallback: a chart that cannot find a slot
             # shrinks alone instead of failing the whole layout (slightly
             # non-uniform texel density beats dropping the global scale)
@@ -345,8 +354,32 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
                     e = ext[c, ::-1] if rot else ext[c]
                     w = int(np.ceil(e[0] * sc)) + 1
                     h = int(np.ceil(e[1] * sc)) + 1
-                    if w + 2 * gutter_g > G or h + 2 * gutter_g > G:
+                    mh = h + 2 * gutter_g
+                    mw = w + 2 * gutter_g
+                    if mw > G or mh > G:
                         continue
+                    if max(mh, mw) <= TINY:
+                        # rect placement: free slot = zero box-sum of occ
+                        if integ is None:
+                            integ = np.zeros((G + 1, G + 1), np.float64)
+                            np.cumsum(occ, axis=0,
+                                      out=integ[1:, 1:])
+                            np.cumsum(integ[1:, 1:], axis=1,
+                                      out=integ[1:, 1:])
+                        ii = integ
+                        box = (ii[mh:, mw:] + ii[:G - mh + 1, :G - mw + 1]
+                               - ii[mh:, :G - mw + 1] - ii[:G - mh + 1, mw:])
+                        ok = box < 0.5
+                        if not ok.any():
+                            continue
+                        flat = int(np.argmax(ok))
+                        py, px = divmod(flat, ok.shape[1])
+                        occ[py:py + mh, px:px + mw] = 1.0
+                        offsets[c] = (px + gutter_g, py + gutter_g)
+                        rot90[c] = rot
+                        shrink[c] = sh
+                        placed = True
+                        break
                     if rot:  # rotate 90deg: (u,v) -> (v, max_u - u)
                         uv = np.stack([chart_uvs[c][:, 1],
                                        ext[c, 0] - chart_uvs[c][:, 0]],
@@ -355,9 +388,10 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
                         uv = chart_uvs[c]
                     m = _raster_chart_mask(uv * sc, chart_faces[c], w, h,
                                            gutter_g).astype(np.float32)
-                    mh, mw = m.shape
-                    corr = np.fft.irfft2(
-                        occ_f * np.conj(np.fft.rfft2(m, (S, S))), (S, S))
+                    if occ_f is None:             # hoisted: occ is fixed
+                        occ_f = sfft.rfft2(occ, (S, S))
+                    corr = sfft.irfft2(
+                        occ_f * np.conj(sfft.rfft2(m, (S, S))), (S, S))
                     ok = corr[: G - mh + 1, : G - mw + 1] < 0.5
                     if not ok.any():
                         continue
