@@ -9,7 +9,11 @@ TPU re-design: geometry is fixed during the optimization, so the per-view
 pixel -> uv map is rasterized ONCE; the optimization loop is a pure
 `lax.scan` of { bilinear atlas gather -> masked L1 -> optax.adam update }
 with no rasterizer in the loop (the reference re-rasterizes implicitly via
-texture_mapping each iteration on GPU).
+texture_mapping each iteration on GPU).  Neither direction of the loop
+contains a scatter: the forward is one sorted row gather and the backward
+is a segment reduction expressed as exclusive-cumsum + run-difference over
+dense texel boundaries (see _grad_to_atlas) — scatters measured ~25x the
+cost of sorted gathers on v5e regardless of sortedness hints.
 """
 from __future__ import annotations
 
@@ -53,8 +57,9 @@ def precompute_view_uv_maps(
     )(rast.face_id, rast.bary)
     fg = rast.face_id >= 0
     # background pixels otherwise all point at face 0's uv — their
-    # zero-gradient scatter-adds then serialize on a single texel; spread
-    # them uniformly over the atlas instead
+    # zero-gradient contributions then pile into a single texel run and
+    # the cumsum segment for it spans the whole background; spread them
+    # uniformly over the atlas instead
     rr = jax.lax.broadcasted_iota(jnp.float32, fg.shape[-2:], 0)
     cc = jax.lax.broadcasted_iota(jnp.float32, fg.shape[-2:], 1)
     uniform = jnp.stack([cc, rr], axis=-1) / float(render_res)
@@ -66,9 +71,9 @@ def _bilinear_base_tables(uv_map, R: int):
     """Base texel id (top-left corner) [P] and corner weights [P,4] in
     corner order (base, base+1, base+R, base+R+1).
 
-    TPU gathers cost ~5.7 ns per INDEX regardless of row width (measured
-    through honest non-hoistable microbenches), so the four corners are
-    not fetched with a [P,4] index table; instead the loop widens the
+    TPU gathers cost ~1-6 ns per INDEX (sorted 12-wide rows are the
+    cheapest; row width is nearly free), so the four corners are not
+    fetched with a [P,4] index table; instead the loop widens the
     atlas rows to 12 (all four corners' RGB side by side via rolls) and
     issues ONE index per pixel.  At the clamp boundary (x0 == R-1 or
     y0 == R-1) the roll wraps to the wrong texel, but the matching
@@ -97,28 +102,31 @@ def _corner_rows(atlas_flat, R: int):
          jnp.roll(atlas_flat, -R - 1, axis=0)], axis=1)
 
 
-def _grad_to_atlas(g_pix, w4, tb, starts_tb, ends_tb, R: int):
+def _grad_to_atlas(g_pix, w4, cum_bounds, R: int):
     """Transpose of the fused-corner forward: pixel gradients [K,3]
-    (SORTED by base texel) -> dense atlas gradient [R*R,3].
+    (SORTED by base texel) -> dense atlas gradient [R*R,3], with NO
+    scatter anywhere.
 
-    Per-base-texel sums via cumsum + run-boundary gathers (scatter-adds
-    serialize on popular texels), one 12-wide scatter-SET of the touched
-    base rows (indices are unique, so no serialization), then the four
-    corner lanes shift back into place with rolls."""
+    Per-corner contributions [K,12] -> exclusive cumsum [K+1,12]; the
+    per-texel segment sum is then hi[t] - hi[t-1] where
+    hi = cumsum[cum_bounds] and cum_bounds[t] = #pixels with base <= t
+    (a FIXED sorted index set, so the single [R*R]-index 12-wide gather
+    hits XLA's sorted fast path; empty texels give hi[t] == hi[t-1] -> 0
+    for free).  The four corner lanes then shift into place with
+    contiguous rolls — bandwidth-bound, index-free."""
     K = g_pix.shape[0]
     contrib = (g_pix[:, None, :] * w4[..., None]).reshape(K, 12)
-    c = jnp.cumsum(contrib.T, axis=1)                         # [12,K]
-    has = ends_tb >= starts_tb
-    hi = c[:, jnp.maximum(ends_tb, 0)]
-    lo_idx = starts_tb - 1
-    lo = jnp.where((lo_idx >= 0)[None, :], c[:, jnp.maximum(lo_idx, 0)],
-                   0.0)
-    g_tb = jnp.where(has[None, :], hi - lo, 0.0).T            # [TB,12]
-    Gf = jnp.zeros((R * R, 12), g_pix.dtype).at[tb].set(g_tb, mode="drop")
-    return (Gf[:, 0:3]
-            + jnp.roll(Gf[:, 3:6], 1, axis=0)
-            + jnp.roll(Gf[:, 6:9], R, axis=0)
-            + jnp.roll(Gf[:, 9:12], R + 1, axis=0))
+    csum = jnp.concatenate(
+        [jnp.zeros((1, 12), contrib.dtype),
+         jnp.cumsum(contrib, axis=0)], axis=0)                # [K+1,12]
+    hi = jnp.take(csum, cum_bounds, axis=0,
+                  indices_are_sorted=True)                    # [R*R,12]
+    lo = jnp.concatenate([jnp.zeros((1, 12), hi.dtype), hi[:-1]], axis=0)
+    G = hi - lo                                               # [R*R,12]
+    return (G[:, 0:3]
+            + jnp.roll(G[:, 3:6], 1, axis=0)
+            + jnp.roll(G[:, 6:9], R, axis=0)
+            + jnp.roll(G[:, 9:12], R + 1, axis=0))
 
 
 def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
@@ -138,7 +146,7 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
     P_total = tgt_flat.shape[0]
     denom = float(P_total * 3)
 
-    n_active = int(jnp.sum(mask_flat > 0))          # host sync 1
+    n_active = int(jnp.sum(mask_flat > 0))          # the only host sync
     bucket = 32768
     K = min(max(((n_active + bucket - 1) // bucket) * bucket, bucket),
             P_total)
@@ -146,7 +154,7 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
     valid = sel >= 0
     safe = jnp.maximum(sel, 0)
     # padding rows: distinct uniform uvs so their (zero) contributions
-    # don't all serialize on one texel
+    # don't all pile into one texel's cumsum segment
     j = jnp.arange(K)
     pad_uv = jnp.stack([((j % R) + 0.5) / R,
                         ((j // R % R) + 0.5) / R], axis=-1)
@@ -156,57 +164,47 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
 
     # sort the active pixels by base texel ONCE so the per-iteration
     # gradient reduction is a cumsum over already-contiguous runs (no
-    # in-loop permute), and bucket the touched-base-texel set to a
-    # static size for the run-boundary gathers
-    base, w4, order, tb, starts_tb, ends_tb = _sorted_pixel_tables(
-        uv_sel, R, bucket, K)
+    # in-loop permute); cum_bounds are the fixed per-texel segment ends
+    base, w4, order, cum_bounds = _sorted_pixel_tables(uv_sel, R)
     tgt_s = tgt_sel[order]
     msk_s = msk_sel[order]
 
     atlas_flat, losses = _optimize_loop_fused(
-        atlas0.reshape(-1, 3), tgt_s, msk_s, base, w4, tb, starts_tb,
-        ends_tb, denom, lr, iterations, R)
+        atlas0.reshape(-1, 3), tgt_s, msk_s, base, w4, cum_bounds, denom,
+        lr, iterations, R)
     return atlas_flat.reshape(atlas0.shape), losses
 
 
-def _sorted_pixel_tables(uv_sel, R: int, bucket: int, K: int):
+def _sorted_pixel_tables(uv_sel, R: int):
+    """Sort pixels by base texel; return (sorted base [K], sorted w4
+    [K,4], the sort permutation [K], and cum_bounds [R*R] where
+    cum_bounds[t] = number of pixels with base <= t — the fixed
+    run-boundary table for the cumsum-based gradient reduction)."""
     base, w4 = _bilinear_base_tables(uv_sel, R)
     order = jnp.argsort(base)
     base = base[order]
     w4 = w4[order]
     counts = jnp.bincount(base, length=R * R)       # one scatter, paid once
-    starts_full = (jnp.cumsum(counts) - counts).astype(jnp.int32)
-    has = counts > 0
-    n_tb = int(jnp.sum(has))                        # host sync 2
-    TB = min(max(((n_tb + bucket - 1) // bucket) * bucket, bucket),
-             min(K, R * R))
-    # fill R*R: the gradient scatter drops out-of-range pad rows
-    (tb,) = jnp.nonzero(has, size=TB, fill_value=R * R)
-    tb_safe = jnp.minimum(tb, R * R - 1)
-    in_range = tb < R * R
-    starts_tb = jnp.where(in_range, starts_full[tb_safe], 1)
-    ends_tb = jnp.where(
-        in_range,
-        starts_full[tb_safe] + counts[tb_safe].astype(jnp.int32) - 1,
-        -1)                                         # pads: ends < starts
-    return base, w4, order, tb, starts_tb, ends_tb
+    cum_bounds = jnp.cumsum(counts).astype(jnp.int32)
+    return base, w4, order, cum_bounds
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "R"))
-def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, tb, starts_tb,
-                         ends_tb, denom, lr, iterations: int, R: int):
+def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, cum_bounds, denom,
+                         lr, iterations: int, R: int):
     """Adam loop over active pixels with the fused-corner layout: forward
-    is ONE K-index gather of 12-wide rows, backward is cumsum +
-    run-difference + one unique-index scatter-set (see _grad_to_atlas).
-    Adam runs on the full flat atlas — never-touched texels keep
-    g = m = v = 0 and are left bit-identical."""
+    is ONE K-index sorted gather of 12-wide rows, backward is cumsum +
+    dense run-difference (see _grad_to_atlas) — no scatter in either
+    direction.  Adam runs on the full flat atlas — never-touched texels
+    keep g = m = v = 0 and are left bit-identical."""
     sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
                                     staircase=True)
     opt = optax.adam(sched)
 
     def step(carry, _):
         atlas, opt_state = carry                              # [R*R,3]
-        crn = _corner_rows(atlas, R)[base]                    # [K,12]
+        crn = jnp.take(_corner_rows(atlas, R), base, axis=0,
+                       indices_are_sorted=True)               # [K,12]
         rendered = (crn.reshape(-1, 4, 3) * w4[..., None]).sum(axis=1)
         clipped = jnp.clip(rendered, 0.0, 1.0)
         diff = clipped - tgt_s
@@ -214,7 +212,34 @@ def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, tb, starts_tb,
         # d (sum(|clip(r)-t| * m) / denom) / dr
         g_pix = (jnp.sign(diff) * msk_s
                  * ((rendered > 0.0) & (rendered < 1.0))) / denom
-        g = _grad_to_atlas(g_pix, w4, tb, starts_tb, ends_tb, R)
+        g = _grad_to_atlas(g_pix, w4, cum_bounds, R)
+        updates, opt_state = opt.update(g, opt_state)
+        atlas = optax.apply_updates(atlas, updates)
+        return (atlas, opt_state), loss
+
+    (atlas, _), losses = jax.lax.scan(
+        step, (a0, opt.init(a0)), None, length=iterations)
+    return atlas, losses
+
+
+def _optimize_loop_autodiff_reference(a0, tgt_s, msk_s, base, w4, denom,
+                                      lr, iterations: int, R: int):
+    """Equivalence oracle for tests: the same Adam loop but with the
+    gradient produced by jax.grad through the fused-corner forward
+    (XLA emits real scatter-adds).  Un-jitted, small-R use only."""
+    sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
+                                    staircase=True)
+    opt = optax.adam(sched)
+
+    def loss_fn(atlas):
+        crn = _corner_rows(atlas, R)[base]
+        rendered = (crn.reshape(-1, 4, 3) * w4[..., None]).sum(axis=1)
+        clipped = jnp.clip(rendered, 0.0, 1.0)
+        return (jnp.abs(clipped - tgt_s) * msk_s).sum() / denom
+
+    def step(carry, _):
+        atlas, opt_state = carry
+        loss, g = jax.value_and_grad(loss_fn)(atlas)
         updates, opt_state = opt.update(g, opt_state)
         atlas = optax.apply_updates(atlas, updates)
         return (atlas, opt_state), loss

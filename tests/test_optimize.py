@@ -10,12 +10,12 @@ def test_transpose_matches_autodiff(rng):
     R = 16
     P = 200
     uv = jnp.asarray(rng.random((1, P, 1, 2)).astype(np.float32))
-    base, w4, order, tb, starts_tb, ends_tb = popt._sorted_pixel_tables(
-        uv.reshape(-1, 2), R, bucket=32, K=P)
+    base, w4, order, cum_bounds = popt._sorted_pixel_tables(
+        uv.reshape(-1, 2), R)
     g_pix = jnp.asarray(rng.standard_normal((P, 3)).astype(np.float32))
     g_sorted = g_pix[order]
 
-    got = popt._grad_to_atlas(g_sorted, w4, tb, starts_tb, ends_tb, R)
+    got = popt._grad_to_atlas(g_sorted, w4, cum_bounds, R)
 
     # reference: autodiff through the fused-corner gather forward
     def fwd(flat):
@@ -42,6 +42,34 @@ def test_fused_forward_matches_clamped_bilinear(rng):
     want = bilinear_sample(atlas.reshape(R, R, 3), uv[None, :, :])[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_loop_matches_autodiff_reference(rng):
+    # the production scatter-free loop must match a plain
+    # jax.value_and_grad Adam loop on every texel, including untouched
+    # ones
+    R = 16
+    K = 300
+    uv = jnp.asarray(rng.uniform(-0.1, 1.1, (K, 2)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((K, 3)).astype(np.float32))
+    msk = jnp.asarray((rng.random((K, 1)) > 0.3).astype(np.float32))
+    atlas0 = jnp.asarray(rng.random((R * R, 3)).astype(np.float32))
+    denom = float(K * 3)
+
+    base, w4, order, cum_bounds = popt._sorted_pixel_tables(uv, R)
+    tgt_s = tgt[order]
+    msk_s = msk[order]
+
+    want, want_losses = popt._optimize_loop_autodiff_reference(
+        atlas0, tgt_s, msk_s, base, w4, denom, 5e-2, 40, R)
+    got, got_losses = popt._optimize_loop_fused(
+        atlas0, tgt_s, msk_s, base, w4, cum_bounds, denom, 5e-2, 40, R)
+
+    np.testing.assert_allclose(np.asarray(got_losses),
+                               np.asarray(want_losses), atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)
 
 
 def test_optimize_loop_converges(rng):
