@@ -166,6 +166,18 @@ def reconstruct_mesh(
     backends (POCO/hoppe — the FFT-Poisson field only exists on the grid,
     where linear interpolation is already exact along edges).
     """
+    import os as _os
+    import time as _t
+    _prof = _os.environ.get("PD_GEO_PROFILE") == "1"
+    _t0 = _t.time()
+
+    def _mark(label):
+        nonlocal _t0
+        if _prof:
+            import jax as _jax
+            print(f"[geoprof] {label}: {_t.time()-_t0:.3f}s")
+            _t0 = _t.time()
+
     pts = np.asarray(xyz_normalized, np.float32)
     if noise_stddev:
         # reference adds sigma=0.005 noise to clean inputs before POCO
@@ -194,6 +206,7 @@ def reconstruct_mesh(
                                              GRID_LO, GRID_HI)
     elif geo_from in ("SPR", "poisson_fft"):
         normals = osdf.estimate_oriented_normals(pts)
+        _mark("normals")
         span = GRID_HI - GRID_LO
         pts01 = (pts - GRID_LO) / span
         # stays ON DEVICE: no refine pass reads it (field_fn is None) and
@@ -201,6 +214,10 @@ def reconstruct_mesh(
         # trip cost 2x8 MB through the tunnel
         field = osdf.poisson_indicator_grid(
             jnp.asarray(pts01), jnp.asarray(normals), res=grid_res)
+        if _prof:
+            import jax as _jax
+            _jax.block_until_ready(field)
+        _mark("poisson_fft")
     elif geo_from == "hoppe":
         normals = osdf.estimate_oriented_normals(pts)
         pj, nj = jnp.asarray(pts), jnp.asarray(normals)
@@ -212,6 +229,7 @@ def reconstruct_mesh(
 
     verts, faces, edge_keys = oiso.marching_tets(field, axis,
                                                  return_edge_keys=True)
+    _mark("marching_tets")
     if field_fn is not None and refine_iters > 0 and len(verts):
         # reference generate.py:177-273: 10-iteration occupancy bisection
         # of every iso vertex along its grid edge
@@ -226,8 +244,11 @@ def reconstruct_mesh(
             return reconstruct_mesh(xyz_normalized, "hoppe", grid_res,
                                     target_faces, None, None, smooth_mesh)
         raise RuntimeError("iso-surface extraction produced no triangles")
+    _mark("refine")
     verts, faces = largest_component(verts, faces)
+    _mark("largest_component")
     verts, faces = decimate_vertex_clustering(verts, faces, target_faces)
+    _mark("decimate")
     if smooth_mesh:  # reference cfg smooth_mesh (configs/default.yaml:61)
         verts = taubin_smooth(verts, faces)
     return verts.astype(np.float32), faces.astype(np.int64)

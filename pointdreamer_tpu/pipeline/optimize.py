@@ -146,7 +146,16 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
     P_total = tgt_flat.shape[0]
     denom = float(P_total * 3)
 
+    import os as _os
+    import time as _t
+    _prof = _os.environ.get("PD_OPT_PROFILE") == "1"
+    _t0 = _t.time()
+
     n_active = int(jnp.sum(mask_flat > 0))          # the only host sync
+    if _prof:
+        print(f"[optprof]   n_active sync: {_t.time()-_t0:.3f}s "
+              f"(n={n_active})")
+        _t0 = _t.time()
     bucket = 32768
     K = min(max(((n_active + bucket - 1) // bucket) * bucket, bucket),
             P_total)
@@ -168,10 +177,24 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
     base, w4, order, cum_bounds = _sorted_pixel_tables(uv_sel, R)
     tgt_s = tgt_sel[order]
     msk_s = msk_sel[order]
+    if _prof:
+        jax.block_until_ready(tgt_s)
+        print(f"[optprof]   tables K={K}: {_t.time()-_t0:.3f}s")
+        _t0 = _t.time()
+    if _os.environ.get("PD_OPT_DUMP"):
+        import numpy as _np
+        _np.savez(_os.environ["PD_OPT_DUMP"],
+                  base=_np.asarray(base), w4=_np.asarray(w4),
+                  cum_bounds=_np.asarray(cum_bounds),
+                  tgt_s=_np.asarray(tgt_s), msk_s=_np.asarray(msk_s),
+                  atlas0=_np.asarray(atlas0.reshape(-1, 3)))
 
     atlas_flat, losses = _optimize_loop_fused(
         atlas0.reshape(-1, 3), tgt_s, msk_s, base, w4, cum_bounds, denom,
         lr, iterations, R)
+    if _prof:
+        jax.block_until_ready(atlas_flat)
+        print(f"[optprof]   fused scan: {_t.time()-_t0:.3f}s")
     return atlas_flat.reshape(atlas0.shape), losses
 
 
@@ -267,9 +290,18 @@ def optimize_color(
         key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
         atlas_img = jax.random.uniform(key, (R, R, 3))
 
+    import os
+    import time as _time
+    prof = os.environ.get("PD_OPT_PROFILE") == "1"
+
+    t0 = _time.time()
     uv_map, fg = precompute_view_uv_maps(
         rig, vertices, faces, uvs, face_uv_idx, uv_centers, uv_scales,
         padding, inpaint_scale_factors, render_res)
+    if prof:
+        jax.block_until_ready(uv_map)
+        print(f"[optprof] raster+uvmap: {_time.time()-t0:.3f}s")
+        t0 = _time.time()
 
     targets = jax.vmap(
         lambda im: jax.image.resize(im, (render_res, render_res, 3),
@@ -281,7 +313,14 @@ def optimize_color(
             shrunk_visibility.astype(jnp.float32), pix)
         loss_mask = loss_mask * svis
     targets = targets * loss_mask[..., None]
+    if prof:
+        jax.block_until_ready(targets)
+        print(f"[optprof] targets+mask: {_time.time()-t0:.3f}s")
+        t0 = _time.time()
 
     atlas, losses = _optimize_loop(atlas_img, targets, uv_map, loss_mask,
                                    lr, iterations, R)
+    if prof:
+        jax.block_until_ready(atlas)
+        print(f"[optprof] loop: {_time.time()-t0:.3f}s")
     return jnp.clip(atlas.reshape(R, R, 3), 0.0, 1.0), losses
