@@ -222,6 +222,63 @@ def _gather_valid(vpos, eklo, ekhi, valid, size: int):
             ekhi.reshape(-1, 3)[tid])
 
 
+_KEY_SENTINEL = np.int32(2**31 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _weld_rank(vpos, eklo, ekhi, valid, count, size: int):
+    """Device-side vertex weld, pass 1: compact valid triangles, then
+    lexsort all 3*size corner edge keys (lo, hi) and rank them by first
+    occurrence.  Vertex order matches what host np.unique over
+    lo*res^3+hi would give (lexicographic (lo,hi) == numeric int64
+    order), so outputs are bit-identical to the previous host weld.
+
+    Returns (faces [size,3] int32 unique ranks,
+             fo_flat [3*size] int32 flat corner index of each unique's
+             first occurrence (rank order, garbage past the unique count),
+             tri_pos [size,3,3], lo [size,3], hi [size,3],
+             n_uniq device scalar)."""
+    flat_v = valid.reshape(-1)
+    order = jnp.argsort(jnp.logical_not(flat_v), stable=True)
+    tid = order[:size]
+    tri_pos = vpos.reshape(-1, 3, 3)[tid]
+    real = (jnp.arange(size) < count)[:, None]
+    lo = jnp.where(real, eklo.reshape(-1, 3)[tid], _KEY_SENTINEL)
+    hi = jnp.where(real, ekhi.reshape(-1, 3)[tid], _KEY_SENTINEL)
+
+    klo = lo.reshape(-1)
+    khi = hi.reshape(-1)
+    sorder = jnp.lexsort((khi, klo))                  # primary lo, then hi
+    sk_lo = klo[sorder]
+    sk_hi = khi[sorder]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (sk_lo[1:] != sk_lo[:-1]) | (sk_hi[1:] != sk_hi[:-1])])
+    rank = (jnp.cumsum(first) - 1).astype(jnp.int32)
+    inv = jnp.zeros((3 * size,), jnp.int32).at[sorder].set(rank)
+    faces = inv.reshape(size, 3)
+    # flat corner index of each unique's first occurrence, in rank order
+    fo_flat = sorder[jnp.argsort(jnp.logical_not(first), stable=True)]
+    n_uniq = (first & (sk_lo != _KEY_SENTINEL)).sum()
+    return faces, fo_flat.astype(jnp.int32), tri_pos, lo, hi, n_uniq
+
+
+@functools.partial(jax.jit, static_argnames=("vsize",))
+def _weld_pack(faces, fo_flat, tri_pos, lo, hi, vsize: int):
+    """Device-side vertex weld, pass 2: gather the unique vertices and
+    their (lo,hi) edge keys, then pack everything into ONE int32 buffer
+    (positions bitcast) so the tunneled host transfer pays a single
+    round trip: [vsize*3 verts | size*3 faces | vsize*2 keys]."""
+    fo = fo_flat[:vsize]
+    verts = tri_pos.reshape(-1, 3)[fo]                      # [vsize,3]
+    vlo = lo.reshape(-1)[fo]
+    vhi = hi.reshape(-1)[fo]
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(verts, jnp.int32).reshape(-1),
+        faces.reshape(-1),
+        jnp.stack([vlo, vhi], axis=1).reshape(-1)])
+
+
 def marching_tets(values: np.ndarray, axis: np.ndarray,
                   bucket: int = 8192, return_edge_keys: bool = False
                   ) -> Tuple[np.ndarray, ...]:
@@ -248,26 +305,29 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
     vpos, eklo, ekhi, valid, count_d = _emit_from_mask(
         vals_j, jnp.asarray(axis, jnp.float32), mask_flat, n_active_d,
         res, A)
-    # compact ON DEVICE before the host transfer: the raw [A,6,2,...]
-    # buffers are ~20 MB (dominated pipeline cost through the tunneled
-    # TPU); the valid triangles are ~1 MB
+    # compact AND weld ON DEVICE before the host transfer: the raw
+    # [A,6,2,...] buffers are ~20 MB and even the compacted per-triangle
+    # corners are ~7 MB (0.45 s through the tunneled TPU at ~15 MB/s);
+    # the welded {verts, faces, edge keys} pack into ~2.5 MB moved in
+    # ONE transfer
     count = int(count_d)                        # host sync 2
     size = max(bucket, -(-count // bucket) * bucket)
-    tri_pos_d, tri_lo_d, tri_hi_d = _gather_valid(vpos, eklo, ekhi,
-                                                  valid, size)
-    tri_pos = np.asarray(tri_pos_d)[:count]          # [T,3,3]
+    faces_d, fo_flat, tri_pos_d, lo_d, hi_d, n_uniq_d = _weld_rank(
+        vpos, eklo, ekhi, valid, count_d, size)
+    n_uniq = int(n_uniq_d)                      # host sync 3
+    vsize = max(bucket, -(-n_uniq // bucket) * bucket)
+    packed = np.asarray(_weld_pack(faces_d, fo_flat, tri_pos_d, lo_d,
+                                   hi_d, vsize))
+    verts = packed[:vsize * 3].view(np.float32).reshape(vsize, 3)[:n_uniq]
+    faces = packed[vsize * 3:vsize * 3 + size * 3].reshape(
+        size, 3)[:count].astype(np.int64)
+    keys2 = packed[vsize * 3 + size * 3:].reshape(vsize, 2)[:n_uniq]
     # int64 edge key assembled on HOST: the device runs with x64 disabled
     # and lo*res^3+hi overflows int32 for res >= 48 (key collisions weld
     # random vertex pairs and break refine_vertices_bisection's decode)
     r3 = np.int64(res) * res * res
-    tri_key = (np.asarray(tri_lo_d)[:count].astype(np.int64) * r3
-               + np.asarray(tri_hi_d)[:count])       # [T,3]
-
-    flat_keys = tri_key.reshape(-1)
-    uniq, inv = np.unique(flat_keys, return_inverse=True)
-    verts = np.zeros((len(uniq), 3), np.float32)
-    verts[inv] = tri_pos.reshape(-1, 3)   # same key -> identical position
-    faces = inv.reshape(-1, 3).astype(np.int64)
+    uniq = keys2[:, 0].astype(np.int64) * r3 + keys2[:, 1]
+    verts = np.ascontiguousarray(verts)
     # drop degenerate faces (repeated vertex ids)
     good = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
             & (faces[:, 0] != faces[:, 2]))
