@@ -181,6 +181,23 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
         jax.block_until_ready(tgt_s)
         print(f"[optprof]   tables K={K}: {_t.time()-_t0:.3f}s")
         _t0 = _t.time()
+
+    use_pallas = (jax.default_backend() != "cpu"
+                  and _os.environ.get("PD_NO_PALLAS_OPT") != "1"
+                  and (R * R) % _SEG_B == 0 and R >= 256)
+    if use_pallas:
+        base_row, off128, W2 = _pallas_grad_tables(base, cum_bounds, R, K)
+        if _prof:
+            print(f"[optprof]   pallas tables W2={W2}: "
+                  f"{_t.time()-_t0:.3f}s")
+            _t0 = _t.time()
+        atlas_flat, losses = _optimize_loop_fused_pallas(
+            atlas0.reshape(-1, 3), tgt_s, msk_s, base, w4, base_row,
+            off128, denom, lr, iterations, R, W2)
+        if _prof:
+            jax.block_until_ready(atlas_flat)
+            print(f"[optprof]   fused scan (pallas): {_t.time()-_t0:.3f}s")
+        return atlas_flat.reshape(atlas0.shape), losses
     if _os.environ.get("PD_OPT_DUMP"):
         import numpy as _np
         _np.savez(_os.environ["PD_OPT_DUMP"],
@@ -196,6 +213,35 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
         jax.block_until_ready(atlas_flat)
         print(f"[optprof]   fused scan: {_t.time()-_t0:.3f}s")
     return atlas_flat.reshape(atlas0.shape), losses
+
+
+_SEG_B = 512     # texels per Mosaic segment-sum block
+
+
+def _pallas_grad_tables(base, cum_bounds, R: int, K: int):
+    """Static tables for the Mosaic segment-sum backward: padded sorted
+    base row [1, Kpad], per-block window offsets (in 128-lane units)
+    [R*R/B], and the static window size W2 (bucketed to 256 so block
+    pixel-density changes rarely recompile)."""
+    import numpy as np
+
+    from ..kernels.segsum_pallas import BASE_SENTINEL
+
+    B = _SEG_B
+    ends = cum_bounds[B - 1::B]                      # [NB] device
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), ends.dtype), ends[:-1]])
+    meta = np.asarray(jnp.concatenate(
+        [starts, (ends - starts).max()[None]]))      # one host sync
+    max_w = int(meta[-1])
+    wblk = max(256, -(-max_w // 256) * 256)
+    W2 = wblk + 128
+    Kpad = -(-K // 128) * 128 + W2
+    off128 = jnp.asarray((meta[:-1] // 128).astype(np.int32))
+    base_row = jnp.pad(base.astype(jnp.int32)[None, :],
+                       ((0, 0), (0, Kpad - K)),
+                       constant_values=BASE_SENTINEL)
+    return base_row, off128, W2
 
 
 def _sorted_pixel_tables(uv_sel, R: int):
@@ -236,6 +282,53 @@ def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, cum_bounds, denom,
         g_pix = (jnp.sign(diff) * msk_s
                  * ((rendered > 0.0) & (rendered < 1.0))) / denom
         g = _grad_to_atlas(g_pix, w4, cum_bounds, R)
+        updates, opt_state = opt.update(g, opt_state)
+        atlas = optax.apply_updates(atlas, updates)
+        return (atlas, opt_state), loss
+
+    (atlas, _), losses = jax.lax.scan(
+        step, (a0, opt.init(a0)), None, length=iterations)
+    return atlas, losses
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "R", "W2"))
+def _optimize_loop_fused_pallas(a0, tgt_s, msk_s, base, w4, base_row,
+                                off128, denom, lr, iterations: int, R: int,
+                                W2: int):
+    """The fused loop with the backward's dense expansion on the Mosaic
+    segment-sum kernel (kernels/segsum_pallas.py): 186 ms/100it vs
+    1347 ms for XLA's sorted-take expansion on the real clock inputs.
+    Per-texel sums are mathematically identical (exact {0,1} matmul
+    weights, f32 accumulation); only the summation order within a texel
+    differs from the cumsum run-difference."""
+    from ..kernels.segsum_pallas import segment_sum_expand
+
+    sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
+                                    staircase=True)
+    opt = optax.adam(sched)
+    K = base.shape[0]
+    Kpad = base_row.shape[1]
+
+    def step(carry, _):
+        atlas, opt_state = carry                              # [R*R,3]
+        crn = jnp.take(_corner_rows(atlas, R), base, axis=0,
+                       indices_are_sorted=True)               # [K,12]
+        rendered = (crn.reshape(-1, 4, 3) * w4[..., None]).sum(axis=1)
+        clipped = jnp.clip(rendered, 0.0, 1.0)
+        diff = clipped - tgt_s
+        loss = (jnp.abs(diff) * msk_s).sum() / denom
+        g_pix = (jnp.sign(diff) * msk_s
+                 * ((rendered > 0.0) & (rendered < 1.0))) / denom
+        # contribT row l*3+c = g_pix[:,c] * w4[:,l]  (matches the XLA
+        # path's [K, l*3+c] layout transposed)
+        contribT = (w4.T[:, None, :] * g_pix.T[None, :, :]).reshape(12, K)
+        contribT = jnp.pad(contribT, ((0, 0), (0, Kpad - K)))
+        G = segment_sum_expand(contribT, base_row, off128, R * R,
+                               _SEG_B, W2)                    # [12,R*R]
+        g = (G[0:3]
+             + jnp.roll(G[3:6], 1, axis=1)
+             + jnp.roll(G[6:9], R, axis=1)
+             + jnp.roll(G[9:12], R + 1, axis=1)).T            # [R*R,3]
         updates, opt_state = opt.update(g, opt_state)
         atlas = optax.apply_updates(atlas, updates)
         return (atlas, opt_state), loss

@@ -72,6 +72,36 @@ def test_fused_loop_matches_autodiff_reference(rng):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_segsum_pallas_matches_dense(rng):
+    # the Mosaic interval one-hot segment-sum (interpret mode on CPU)
+    # must reproduce np.add.at over sorted bases, pads and all
+    from pointdreamer_tpu.kernels.segsum_pallas import (
+        BASE_SENTINEL, segment_sum_expand)
+
+    n_tex, B, W2 = 1024, 128, 256
+    K = 700
+    base = np.sort(rng.integers(0, n_tex, K)).astype(np.int32)
+    contrib = rng.standard_normal((12, K)).astype(np.float32)
+
+    counts = np.bincount(base, minlength=n_tex)
+    cb = np.cumsum(counts)
+    starts = np.concatenate([[0], cb[B - 1::B][:-1]])
+    assert (cb[B - 1::B] - starts).max() <= W2 - 128
+    Kpad = -(-K // 128) * 128 + W2
+    off128 = jnp.asarray((starts // 128).astype(np.int32))
+    base_row = np.full((1, Kpad), BASE_SENTINEL, np.int32)
+    base_row[0, :K] = base
+    contribT = np.zeros((12, Kpad), np.float32)
+    contribT[:, :K] = contrib
+
+    got = np.asarray(segment_sum_expand(
+        jnp.asarray(contribT), jnp.asarray(base_row), off128,
+        n_tex, B, W2, interpret=True))
+    want = np.zeros((n_tex, 12), np.float32)
+    np.add.at(want, base, contrib.T)
+    np.testing.assert_allclose(got, want.T, atol=1e-5, rtol=1e-5)
+
+
 def test_optimize_loop_converges(rng):
     # target = render of a known atlas; optimization should recover it on
     # covered texels
