@@ -10,10 +10,12 @@ pixel -> uv map is rasterized ONCE; the optimization loop is a pure
 `lax.scan` of { bilinear atlas gather -> masked L1 -> optax.adam update }
 with no rasterizer in the loop (the reference re-rasterizes implicitly via
 texture_mapping each iteration on GPU).  Neither direction of the loop
-contains a scatter: the forward is one sorted row gather and the backward
-is a segment reduction expressed as exclusive-cumsum + run-difference over
-dense texel boundaries (see _grad_to_atlas) — scatters measured ~25x the
-cost of sorted gathers on v5e regardless of sortedness hints.
+contains a scatter: the forward is one sorted row gather; the backward's
+per-texel segment reduction runs on the Mosaic interval one-hot matmul
+kernel on TPU (kernels/segsum_pallas.py, 7x XLA's gather engine) and as
+exclusive-cumsum + run-difference over dense texel boundaries
+(_grad_to_atlas) on CPU/fallback — scatters measured ~25x the cost of
+sorted gathers on v5e regardless of sortedness hints.
 """
 from __future__ import annotations
 
@@ -25,7 +27,6 @@ import jax.numpy as jnp
 import optax
 
 from ..core.camera import CameraRig
-from ..ops import image as oimg
 from ..ops import raster as orast
 
 
