@@ -327,19 +327,21 @@ def save_rgb(img01: np.ndarray, path: str, flip_vertical: bool = False) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # cv2 + RLE strategy: ~2x faster than PIL at compress_level 1 with
     # comparable file sizes — the export stage is wall-clock-visible per
-    # shape (PIL fallback keeps minimal installs working)
-    try:
-        import cv2
+    # shape (PIL fallback keeps minimal installs working).  HWC RGB/RGBA
+    # only: the channel flip below would mirror a 2D array's width.
+    if arr.ndim == 3 and arr.shape[-1] in (3, 4):
+        try:
+            import cv2
 
-        bgr = arr[..., [2, 1, 0, 3]] if arr.shape[-1] == 4 \
-            else arr[..., ::-1]
-        if cv2.imwrite(path, np.ascontiguousarray(bgr),
-                       [cv2.IMWRITE_PNG_COMPRESSION, 1,
-                        cv2.IMWRITE_PNG_STRATEGY,
-                        cv2.IMWRITE_PNG_STRATEGY_RLE]):
-            return
-    except Exception:
-        pass
+            bgr = arr[..., [2, 1, 0, 3]] if arr.shape[-1] == 4 \
+                else arr[..., ::-1]
+            if cv2.imwrite(path, np.ascontiguousarray(bgr),
+                           [cv2.IMWRITE_PNG_COMPRESSION, 1,
+                            cv2.IMWRITE_PNG_STRATEGY,
+                            cv2.IMWRITE_PNG_STRATEGY_RLE]):
+                return
+        except Exception:
+            pass
     mode = "RGBA" if arr.shape[-1] == 4 else "RGB"
     Image.fromarray(np.ascontiguousarray(arr), mode).save(
         path, compress_level=1)

@@ -280,7 +280,7 @@ def _weld_pack(faces, fo_flat, tri_pos, lo, hi, vsize: int):
 
 
 def marching_tets(values: np.ndarray, axis: np.ndarray,
-                  bucket: int = 8192, return_edge_keys: bool = False
+                  return_edge_keys: bool = False
                   ) -> Tuple[np.ndarray, ...]:
     """Extract the zero level set of values [R,R,R] sampled at axis coords
     (axis [R] per dimension, uniform cube grid).

@@ -172,9 +172,9 @@ def reconstruct_mesh(
     _t0 = _t.time()
 
     def _mark(label):
+        # dispatch-time stamps: only the poisson branch synchronizes
         nonlocal _t0
         if _prof:
-            import jax as _jax
             print(f"[geoprof] {label}: {_t.time()-_t0:.3f}s")
             _t0 = _t.time()
 

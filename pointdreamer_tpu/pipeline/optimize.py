@@ -152,7 +152,8 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
     _prof = _os.environ.get("PD_OPT_PROFILE") == "1"
     _t0 = _t.time()
 
-    n_active = int(jnp.sum(mask_flat > 0))          # the only host sync
+    n_active = int(jnp.sum(mask_flat > 0))  # host sync (the pallas
+                                            # tables add one more)
     if _prof:
         print(f"[optprof]   n_active sync: {_t.time()-_t0:.3f}s "
               f"(n={n_active})")
@@ -183,11 +184,19 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
         print(f"[optprof]   tables K={K}: {_t.time()-_t0:.3f}s")
         _t0 = _t.time()
 
-    use_pallas = (jax.default_backend() != "cpu"
+    # Mosaic kernels are TPU-only: whitelist TPU-like platforms (the
+    # tunneled chip registers as 'axon') rather than blacklisting cpu
+    use_pallas = (jax.default_backend() in ("tpu", "axon")
                   and _os.environ.get("PD_NO_PALLAS_OPT") != "1"
                   and (R * R) % _SEG_B == 0 and R >= 256)
     if use_pallas:
         base_row, off128, W2 = _pallas_grad_tables(base, cum_bounds, R, K)
+        if W2 > _SEG_W2_CAP:
+            # pathologically skewed pixel->texel density (most pixels in
+            # one block): the onehot window would blow VMEM — degrade to
+            # the XLA run-difference path instead of failing the shape
+            use_pallas = False
+    if use_pallas:
         if _prof:
             print(f"[optprof]   pallas tables W2={W2}: "
                   f"{_t.time()-_t0:.3f}s")
@@ -216,7 +225,8 @@ def _optimize_loop(atlas0, targets, uv_map, loss_mask, lr, iterations: int,
     return atlas_flat.reshape(atlas0.shape), losses
 
 
-_SEG_B = 512     # texels per Mosaic segment-sum block
+_SEG_B = 512       # texels per Mosaic segment-sum block
+_SEG_W2_CAP = 4096  # largest onehot window before falling back to XLA
 
 
 def _pallas_grad_tables(base, cum_bounds, R: int, K: int):
@@ -259,14 +269,13 @@ def _sorted_pixel_tables(uv_sel, R: int):
     return base, w4, order, cum_bounds
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "R"))
-def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, cum_bounds, denom,
-                         lr, iterations: int, R: int):
-    """Adam loop over active pixels with the fused-corner layout: forward
-    is ONE K-index sorted gather of 12-wide rows, backward is cumsum +
-    dense run-difference (see _grad_to_atlas) — no scatter in either
-    direction.  Adam runs on the full flat atlas — never-touched texels
-    keep g = m = v = 0 and are left bit-identical."""
+def _run_adam_scan(a0, tgt_s, msk_s, base, w4, grad_fn, denom, lr,
+                   iterations: int, R: int):
+    """The shared Adam scan: fused-corner forward gather + masked
+    clipped-L1 loss + Adam on the full flat atlas (never-touched texels
+    keep g = m = v = 0 and are left bit-identical).  `grad_fn` maps the
+    sorted pixel gradients [K,3] to a dense atlas gradient [R*R,3] —
+    the only thing the XLA and Mosaic backends differ in."""
     sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
                                     staircase=True)
     opt = optax.adam(sched)
@@ -282,14 +291,26 @@ def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, cum_bounds, denom,
         # d (sum(|clip(r)-t| * m) / denom) / dr
         g_pix = (jnp.sign(diff) * msk_s
                  * ((rendered > 0.0) & (rendered < 1.0))) / denom
-        g = _grad_to_atlas(g_pix, w4, cum_bounds, R)
-        updates, opt_state = opt.update(g, opt_state)
+        updates, opt_state = opt.update(grad_fn(g_pix), opt_state)
         atlas = optax.apply_updates(atlas, updates)
         return (atlas, opt_state), loss
 
     (atlas, _), losses = jax.lax.scan(
         step, (a0, opt.init(a0)), None, length=iterations)
     return atlas, losses
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "R"))
+def _optimize_loop_fused(a0, tgt_s, msk_s, base, w4, cum_bounds, denom,
+                         lr, iterations: int, R: int):
+    """Adam loop over active pixels with the fused-corner layout: forward
+    is ONE K-index sorted gather of 12-wide rows, backward is cumsum +
+    dense run-difference (see _grad_to_atlas) — no scatter in either
+    direction."""
+    return _run_adam_scan(
+        a0, tgt_s, msk_s, base, w4,
+        lambda g_pix: _grad_to_atlas(g_pix, w4, cum_bounds, R),
+        denom, lr, iterations, R)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "R", "W2"))
@@ -304,39 +325,23 @@ def _optimize_loop_fused_pallas(a0, tgt_s, msk_s, base, w4, base_row,
     differs from the cumsum run-difference."""
     from ..kernels.segsum_pallas import segment_sum_expand
 
-    sched = optax.exponential_decay(lr, transition_steps=15, decay_rate=0.5,
-                                    staircase=True)
-    opt = optax.adam(sched)
     K = base.shape[0]
     Kpad = base_row.shape[1]
 
-    def step(carry, _):
-        atlas, opt_state = carry                              # [R*R,3]
-        crn = jnp.take(_corner_rows(atlas, R), base, axis=0,
-                       indices_are_sorted=True)               # [K,12]
-        rendered = (crn.reshape(-1, 4, 3) * w4[..., None]).sum(axis=1)
-        clipped = jnp.clip(rendered, 0.0, 1.0)
-        diff = clipped - tgt_s
-        loss = (jnp.abs(diff) * msk_s).sum() / denom
-        g_pix = (jnp.sign(diff) * msk_s
-                 * ((rendered > 0.0) & (rendered < 1.0))) / denom
+    def grad_fn(g_pix):
         # contribT row l*3+c = g_pix[:,c] * w4[:,l]  (matches the XLA
         # path's [K, l*3+c] layout transposed)
         contribT = (w4.T[:, None, :] * g_pix.T[None, :, :]).reshape(12, K)
         contribT = jnp.pad(contribT, ((0, 0), (0, Kpad - K)))
         G = segment_sum_expand(contribT, base_row, off128, R * R,
                                _SEG_B, W2)                    # [12,R*R]
-        g = (G[0:3]
-             + jnp.roll(G[3:6], 1, axis=1)
-             + jnp.roll(G[6:9], R, axis=1)
-             + jnp.roll(G[9:12], R + 1, axis=1)).T            # [R*R,3]
-        updates, opt_state = opt.update(g, opt_state)
-        atlas = optax.apply_updates(atlas, updates)
-        return (atlas, opt_state), loss
+        return (G[0:3]
+                + jnp.roll(G[3:6], 1, axis=1)
+                + jnp.roll(G[6:9], R, axis=1)
+                + jnp.roll(G[9:12], R + 1, axis=1)).T         # [R*R,3]
 
-    (atlas, _), losses = jax.lax.scan(
-        step, (a0, opt.init(a0)), None, length=iterations)
-    return atlas, losses
+    return _run_adam_scan(a0, tgt_s, msk_s, base, w4, grad_fn, denom, lr,
+                          iterations, R)
 
 
 def _optimize_loop_autodiff_reference(a0, tgt_s, msk_s, base, w4, denom,

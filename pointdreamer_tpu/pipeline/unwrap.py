@@ -294,7 +294,10 @@ def _raster_chart_mask(uv_px: np.ndarray, faces_local: np.ndarray,
     packing stage); the explicit polylines pass keeps every boundary
     pixel covered despite fillPoly's integer rounding, so the mask stays
     a conservative superset of the chart's texel footprint."""
-    import cv2
+    try:
+        import cv2
+    except ImportError:                # minimal installs: PIL path
+        return _raster_chart_mask_pil(uv_px, faces_local, w, h, pad)
 
     img = np.zeros((h + 2 * pad, w + 2 * pad), np.uint8)
     # floor (not round): PIL truncated coordinates, and the packer's
@@ -308,6 +311,23 @@ def _raster_chart_mask(uv_px: np.ndarray, faces_local: np.ndarray,
         img = cv2.dilate(img, np.ones((2 * pad + 1, 2 * pad + 1),
                                       np.uint8))
     return img.astype(bool)
+
+
+def _raster_chart_mask_pil(uv_px, faces_local, w, h, pad):
+    """cv2-free fallback (the original implementation)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("1", (w + 2 * pad, h + 2 * pad), 0)
+    d = ImageDraw.Draw(img)
+    q = uv_px + pad
+    for tri in faces_local:
+        d.polygon([tuple(q[i]) for i in tri], fill=1, outline=1)
+    m = np.array(img, dtype=bool)
+    if pad > 0:
+        from scipy.ndimage import binary_dilation
+
+        m = binary_dilation(m, np.ones((2 * pad + 1, 2 * pad + 1), bool))
+    return m
 
 
 def _pack_bitmap(chart_uvs: List[np.ndarray],
