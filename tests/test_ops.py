@@ -174,8 +174,7 @@ def test_marching_tets_sphere():
     axis = np.linspace(-0.6, 0.6, res, dtype=np.float32)
     g = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1)
     sdf = np.linalg.norm(g, axis=-1) - 0.4
-    verts, faces = oiso.marching_tets(sdf.astype(np.float32), axis,
-                                      bucket=2048)
+    verts, faces = oiso.marching_tets(sdf.astype(np.float32), axis)
     assert len(verts) > 200 and len(faces) > 400
     r = np.linalg.norm(verts, axis=1)
     np.testing.assert_allclose(r, 0.4, atol=0.05)

@@ -61,8 +61,7 @@ def test_backface_culling_preserves_closed_mesh_render():
     axis = np.linspace(-0.6, 0.6, res, dtype=np.float32)
     g = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1)
     sdf = np.linalg.norm(g, axis=-1) - 0.4
-    verts, faces = oiso.marching_tets(sdf.astype(np.float32), axis,
-                                      bucket=2048)
+    verts, faces = oiso.marching_tets(sdf.astype(np.float32), axis)
     rig = make_camera_rig(2, distance=1.6, res=64)
     ndc, depth = rig.transform(jnp.asarray(verts))
     a = orast.rasterize_tiled(ndc[0], depth[0],
