@@ -185,7 +185,10 @@ class Pipeline:
                     cfg.noise_stddev if not cfg.input_already_noisy else None,
                     self.poco_apply, smooth_mesh=cfg.smooth_mesh,
                     refine_iters=cfg.refine_vertex_iters)
-                pio.save_obj(verts, faces, own_geo)
+                # stage-cache artifact, read only by future runs: write it
+                # on the io thread (flush_async_io at export guards reuse)
+                pio._PENDING.append(pio._async_executor().submit(
+                    pio.save_obj, verts, faces, own_geo))
 
         tbox["out"] = None
         # bucketed padding: device stages compile once per bucket, not per
