@@ -48,6 +48,12 @@ class PipelineConfig:
     # field (reference models/POCO/generate.py:177-273 refines x10;
     # grid-only backends like the FFT-Poisson field skip it)
     refine_vertex_iters: int = 10
+    # iso-surface extraction: 'tets' = 6-tet decomposition (default —
+    # more uniform triangles, ~1 dB better texture round-trip) | 'mc' =
+    # 256-case marching cubes (the reference's extraction,
+    # generate.py:162 — ~3x fewer triangles but fan-triangulated loops
+    # leave skinnier faces that distort the LSCM charts)
+    iso_method: str = "tets"
 
     # ---- texture generation ---------------------------------------------
     # 'DDNM_inpaint' | 'linear' | 'nearest'

@@ -183,9 +183,89 @@ def _mask_and_count(values, res):
     return flat, flat.sum()
 
 
-@functools.partial(jax.jit, static_argnames=("res", "size"))
+@functools.partial(jax.jit, static_argnames=("res",))
+def _emit_triangles_mc(values, axis_coords, cells, res):
+    """Marching-cubes emission over compacted cells: like
+    _emit_triangles but with the generated 256-case table
+    (ops/mc_table.py) — up to 5 triangles per cube with vertices on the
+    12 axis-aligned CUBE edges (half the triangle budget of the 6-tet
+    decomposition).  Winding is baked into the table (inside ->
+    outside).  Returns (vpos [A,5,3,3], lo [A,5,3], hi [A,5,3],
+    valid [A,5])."""
+    n_b = cells.shape[0] // _EMIT_BUCKET
+    outs = jax.lax.map(
+        lambda c: _emit_triangles_mc_bucket(values, axis_coords, c, res),
+        cells.reshape(n_b, _EMIT_BUCKET))
+    return tuple(o.reshape((-1,) + o.shape[2:]) for o in outs)
+
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def _emit_triangles_mc_bucket(values, axis_coords, cells, res):
+    from .mc_table import EDGES as MC_EDGES
+    from .mc_table import MC_MAX_TRIS, MC_TABLE
+
+    rm1 = res - 1
+    ok = cells >= 0
+    c = jnp.maximum(cells, 0)
+    cz = c % rm1
+    cy = (c // rm1) % rm1
+    cx = c // (rm1 * rm1)
+    base = jnp.stack([cx, cy, cz], axis=-1)                      # [A,3]
+
+    # mc_table corner id convention (c = x + 2y + 4z) differs from
+    # CUBE_OFFSETS' x-fastest listing order only in labels; use its own
+    # coordinates table so ids and geometry agree
+    from .mc_table import CORNER_XYZ
+
+    offs = jnp.asarray(CORNER_XYZ)                                # [8,3]
+    corner_ijk = base[:, None, :] + offs[None, :, :]              # [A,8,3]
+    gid = ((corner_ijk[..., 0] * res + corner_ijk[..., 1]) * res
+           + corner_ijk[..., 2]).astype(jnp.int32)                # [A,8]
+    val = values[corner_ijk[..., 0], corner_ijk[..., 1], corner_ijk[..., 2]]
+    pos = axis_coords[corner_ijk]                                 # [A,8,3]
+
+    inside = (val < 0.0).astype(jnp.int32)                        # [A,8]
+    weights = jnp.asarray([1 << k for k in range(8)], jnp.int32)
+    case = (inside * weights[None, :]).sum(-1)                    # [A]
+
+    tbl = jnp.asarray(MC_TABLE)                                   # [256,T,3]
+    tri_e = tbl[case]                                             # [A,T,3]
+    valid = (tri_e[..., 0] >= 0) & ok[:, None]                    # [A,T]
+    e = jnp.maximum(tri_e, 0)                                     # [A,T,3]
+
+    epairs = jnp.asarray(MC_EDGES)                                # [12,2]
+    ca = epairs[e][..., 0]                                        # [A,T,3]
+    cb = epairs[e][..., 1]
+
+    a_val = jnp.take_along_axis(val[:, None, :], ca.reshape(
+        ca.shape[0], 1, -1), axis=-1).reshape(ca.shape)
+    b_val = jnp.take_along_axis(val[:, None, :], cb.reshape(
+        cb.shape[0], 1, -1), axis=-1).reshape(cb.shape)
+    a_gid = jnp.take_along_axis(gid[:, None, :], ca.reshape(
+        ca.shape[0], 1, -1), axis=-1).reshape(ca.shape)
+    b_gid = jnp.take_along_axis(gid[:, None, :], cb.reshape(
+        cb.shape[0], 1, -1), axis=-1).reshape(cb.shape)
+    flat_a = ca.reshape(ca.shape[0], -1)                          # [A,T*3]
+    flat_b = cb.reshape(cb.shape[0], -1)
+    a_pos = jnp.take_along_axis(
+        pos[:, :, :], flat_a[..., None], axis=1).reshape(
+            ca.shape + (3,))                                      # [A,T,3,3]
+    b_pos = jnp.take_along_axis(
+        pos[:, :, :], flat_b[..., None], axis=1).reshape(
+            cb.shape + (3,))
+
+    t = a_val / jnp.where(jnp.abs(a_val - b_val) > 1e-12,
+                          a_val - b_val, 1.0)
+    t = jnp.clip(t, 0.0, 1.0)[..., None]
+    vpos = a_pos + t * (b_pos - a_pos)                            # [A,T,3,3]
+    lo = jnp.minimum(a_gid, b_gid)                                # [A,T,3]
+    hi = jnp.maximum(a_gid, b_gid)
+    return vpos, lo, hi, valid
+
+
+@functools.partial(jax.jit, static_argnames=("res", "size", "method"))
 def _emit_from_mask(values, axis_coords, mask_flat, n_active, res,
-                    size: int):
+                    size: int, method: str = "tets"):
     """Device-side cell compaction + triangle emission + valid count.
 
     Stable argsort on !mask puts active cell ids first in ascending
@@ -201,8 +281,8 @@ def _emit_from_mask(values, axis_coords, mask_flat, n_active, res,
             [order, jnp.zeros((size - order.shape[0],), order.dtype)])
     cells = jnp.where(jnp.arange(size) < n_active,
                       order[:size].astype(jnp.int32), -1)
-    vpos, eklo, ekhi, valid = _emit_triangles(values, axis_coords, cells,
-                                              res)
+    emit = _emit_triangles_mc if method == "mc" else _emit_triangles
+    vpos, eklo, ekhi, valid = emit(values, axis_coords, cells, res)
     return vpos, eklo, ekhi, valid, valid.sum()
 
 
@@ -283,7 +363,7 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
                   return_edge_keys: bool = False
                   ) -> Tuple[np.ndarray, ...]:
     """Extract the zero level set of values [R,R,R] sampled at axis coords
-    (axis [R] per dimension, uniform cube grid).
+    (axis [R] per dimension, uniform cube grid) via marching tetrahedra.
 
     Returns (vertices [V,3] float32, faces [F,3] int64) with welded,
     deduplicated vertices and inside->outside winding.  With
@@ -291,6 +371,22 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
     key [V] int64 (lo_corner * R^3 + hi_corner) that
     `refine_vertices_bisection` decodes back into grid-edge endpoints.
     """
+    return _extract_iso(values, axis, "tets", return_edge_keys)
+
+
+def marching_cubes(values: np.ndarray, axis: np.ndarray,
+                   return_edge_keys: bool = False
+                   ) -> Tuple[np.ndarray, ...]:
+    """Classic 256-case marching cubes (table generated and certified in
+    ops/mc_table.py): ~2x fewer triangles than the 6-tet decomposition
+    with vertices only on axis-aligned grid edges — the same extraction
+    the reference uses (skimage.measure.marching_cubes at
+    models/POCO/generate.py:162 and the vendored libmcubes).  Output
+    contract identical to marching_tets."""
+    return _extract_iso(values, axis, "mc", return_edge_keys)
+
+
+def _extract_iso(values, axis, method: str, return_edge_keys: bool):
     res = values.shape[0]
     bucket = _EMIT_BUCKET
     vals_j = jnp.asarray(values, jnp.float32)   # no-op for device fields
@@ -304,7 +400,7 @@ def marching_tets(values: np.ndarray, axis: np.ndarray,
 
     vpos, eklo, ekhi, valid, count_d = _emit_from_mask(
         vals_j, jnp.asarray(axis, jnp.float32), mask_flat, n_active_d,
-        res, A)
+        res, A, method)
     # compact AND weld ON DEVICE before the host transfer: the raw
     # [A,6,2,...] buffers are ~20 MB and even the compacted per-triangle
     # corners are ~7 MB (0.45 s through the tunneled TPU at ~15 MB/s);

@@ -156,6 +156,7 @@ def reconstruct_mesh(
     poco_apply=None,
     smooth_mesh: bool = False,
     refine_iters: int = 10,
+    iso_method: str = "tets",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Point cloud (normalized to [-0.5, 0.5]) -> (vertices, faces).
 
@@ -227,9 +228,10 @@ def reconstruct_mesh(
     else:
         raise ValueError(f"unknown geo_from={geo_from}")
 
-    verts, faces, edge_keys = oiso.marching_tets(field, axis,
-                                                 return_edge_keys=True)
-    _mark("marching_tets")
+    extract = oiso.marching_cubes if iso_method == "mc" \
+        else oiso.marching_tets
+    verts, faces, edge_keys = extract(field, axis, return_edge_keys=True)
+    _mark("iso_extract")
     if field_fn is not None and refine_iters > 0 and len(verts):
         # reference generate.py:177-273: 10-iteration occupancy bisection
         # of every iso vertex along its grid edge
@@ -242,7 +244,8 @@ def reconstruct_mesh(
             warnings.warn(f"{geo_from} produced an empty iso-surface; "
                           "retrying with 'hoppe'")
             return reconstruct_mesh(xyz_normalized, "hoppe", grid_res,
-                                    target_faces, None, None, smooth_mesh)
+                                    target_faces, None, None, smooth_mesh,
+                                    iso_method=iso_method)
         raise RuntimeError("iso-surface extraction produced no triangles")
     _mark("refine")
     verts, faces = largest_component(verts, faces)

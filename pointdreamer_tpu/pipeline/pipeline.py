@@ -184,7 +184,8 @@ class Pipeline:
                     xyz_n, cfg.geo_from, cfg.grid_res, cfg.target_face_num,
                     cfg.noise_stddev if not cfg.input_already_noisy else None,
                     self.poco_apply, smooth_mesh=cfg.smooth_mesh,
-                    refine_iters=cfg.refine_vertex_iters)
+                    refine_iters=cfg.refine_vertex_iters,
+                    iso_method=cfg.iso_method)
                 # stage-cache artifact, read only by future runs: write it
                 # on the io thread (flush_async_io at export guards reuse)
                 pio._PENDING.append(pio._async_executor().submit(
