@@ -48,12 +48,14 @@ class PipelineConfig:
     # field (reference models/POCO/generate.py:177-273 refines x10;
     # grid-only backends like the FFT-Poisson field skip it)
     refine_vertex_iters: int = 10
-    # iso-surface extraction: 'tets' = 6-tet decomposition (default —
-    # more uniform triangles, ~1 dB better texture round-trip) | 'mc' =
-    # 256-case marching cubes (the reference's extraction,
-    # generate.py:162 — ~3x fewer triangles but fan-triangulated loops
-    # leave skinnier faces that distort the LSCM charts)
-    iso_method: str = "tets"
+    # iso-surface extraction: 'mc' = 256-case marching cubes (default —
+    # the reference's extraction, generate.py:162; ~3x fewer triangles,
+    # equal texture fidelity at full res: 31.08 vs 31.00 dB self-parity)
+    # | 'tets' = 6-tet decomposition (scores ~2 dB better on the
+    # REDUCED-res cube gate, where the fixed-texel seam width magnifies
+    # chart-boundary error on sharp-edged shapes — a resolution
+    # artifact, not a geometry one: sphere and full-res are equal)
+    iso_method: str = "mc"
 
     # ---- texture generation ---------------------------------------------
     # 'DDNM_inpaint' | 'linear' | 'nearest'

@@ -156,7 +156,7 @@ def reconstruct_mesh(
     poco_apply=None,
     smooth_mesh: bool = False,
     refine_iters: int = 10,
-    iso_method: str = "tets",
+    iso_method: str = "mc",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Point cloud (normalized to [-0.5, 0.5]) -> (vertices, faces).
 
