@@ -8,6 +8,7 @@ spherical flip + host convex hull (scipy) — the algorithm o3d implements
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -84,6 +85,10 @@ def hidden_point_removal_visibility(
     Equivalent of o3d `hidden_point_removal` as used by
     get_point_validation_by_o3d (ours_utils.py:204-225) with its
     radius=100 parameter (configs/default.yaml:45).  Returns [V, N] bool.
+
+    Fast path: the dedicated C++ quickhull (native/hull) — ~3x qhull on
+    the 1-core hosts.  Views it flags as degenerate (and any build/load
+    failure: PD_NO_NATIVE_HULL=1 forces this) fall back to scipy/qhull.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -92,7 +97,21 @@ def hidden_point_removal_visibility(
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     eyes = np.asarray(eye_positions, dtype=np.float64)
+
+    need = np.arange(len(eyes))
     vis = np.zeros((len(eyes), n), dtype=bool)
+    if os.environ.get("PD_NO_NATIVE_HULL") != "1":
+        try:
+            from ..native import hull as nhull
+
+            vis_c, rc = nhull.hpr_visibility(pts, eyes, radius_param)
+            ok = rc == 0
+            vis[ok] = vis_c[ok]
+            need = np.flatnonzero(~ok)
+            if len(need) == 0:
+                return vis
+        except Exception:  # pragma: no cover - toolchain missing
+            pass
 
     def one(i):
         p = pts - eyes[i][None]
@@ -110,6 +129,6 @@ def hidden_point_removal_visibility(
         vis[i, idx[idx < n]] = True
 
     # qhull releases the GIL; the 8 views hull in parallel host threads
-    with ThreadPoolExecutor(max_workers=min(8, len(eyes))) as ex:
-        list(ex.map(one, range(len(eyes))))
+    with ThreadPoolExecutor(max_workers=min(8, len(need))) as ex:
+        list(ex.map(one, need))
     return vis
