@@ -1,19 +1,30 @@
 """Benchmark: end-to-end seconds/shape on the real TPU chip.
 
-Runs the full pipeline (nearest-fill texture path — the configuration that
-needs no pretrained checkpoints, reference configs/nearest.yaml) on the
-reference demo cloud clock.ply at full resolutions (8 views @ 512^2,
-atlas 1024^2, 128^3 geometry grid), one warmup run for compilation, then
-a timed run with all stage caches cleared.
+Two legs, both full resolutions (8 views @ 512^2, inpaint 256^2, atlas
+1024^2, 128^3 geometry grid) on the reference demo cloud clock.ply:
 
-Prints ONE JSON line: sec/shape and the ratio vs the reference's ~60 s on
-an NVIDIA A100 (Readme.md:24; BASELINE.md).
+  1. FLAGSHIP (headline): the full-diffusion pipeline — reference
+     configs/default.yaml semantics with texture_gen_method DDNM_inpaint
+     (100-step x 8-view DDNM denoise over the 552M-param guided-diffusion
+     UNet).  The reference spends ~90% of its ~60 s/shape (A100) here
+     (Readme.md:24, diffusion.py:459-570), so this is the apples-to-apples
+     number.  No pretrained checkpoint ships with the reference, so the
+     UNet runs with random weights (PD_ALLOW_RANDOM_DIFFUSION=1): FLOPs
+     and memory traffic are weight-independent, the cost is identical.
+  2. nearest-fill path (reference configs/nearest.yaml, no neural nets),
+     recorded in `detail` — the round-1/2 headline, kept for trend.
+
+Each leg does one warmup run for compilation, then a timed run with all
+stage caches cleared.  Prints ONE JSON line; vs_baseline is the
+reference's ~60 s on an NVIDIA A100 divided by the flagship time.
 """
 import json
 import os
 import shutil
 import sys
 import time
+
+os.environ.setdefault("PD_ALLOW_RANDOM_DIFFUSION", "1")
 
 
 def run_once(pipe, out_dir, tag):
@@ -25,27 +36,43 @@ def run_once(pipe, out_dir, tag):
     return timer
 
 
-def main():
-    from pointdreamer_tpu.core.config import load_config
+def time_leg(cfg, out_dir):
+    """warmup (compile) + timed run with cleared caches -> (sec, timer)."""
     from pointdreamer_tpu.pipeline.pipeline import Pipeline
 
-    out_dir = "/tmp/pd_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    cfg = load_config(os.path.join(os.path.dirname(__file__) or ".",
-                                   "configs", "nearest.yaml"))
-    cfg.output_path = out_dir
-    cfg.geo_from = "SPR"  # FFT-Poisson backend (no POCO checkpoint ships with the reference)
-    cfg.save_input_pc = False
     pipe = Pipeline.create(cfg)
-
-    run_once(pipe, out_dir, "warmup")          # compile
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_once(pipe, out_dir, "warmup")           # compile
     shutil.rmtree(out_dir, ignore_errors=True)  # drop stage caches
     t0 = time.time()
     timer = run_once(pipe, out_dir, "timed")
-    sec = time.time() - t0
+    return time.time() - t0, timer
 
-    baseline_a100 = 60.0  # reference end-to-end sec/shape on A100
-    detail = {k: round(v, 3) for k, v in timer.times.items()}
+
+def main():
+    from pointdreamer_tpu.core.config import load_config
+
+    out_dir = "/tmp/pd_bench_out"
+    cfg_dir = os.path.join(os.path.dirname(__file__) or ".", "configs")
+
+    # ---- leg 1: flagship full-diffusion (default.yaml semantics) -------
+    cfg = load_config(os.path.join(cfg_dir, "default.yaml"))
+    cfg.output_path = out_dir
+    cfg.geo_from = "SPR"  # no POCO checkpoint ships with the reference
+    cfg.save_input_pc = False
+    diff_sec, diff_timer = time_leg(cfg, out_dir)
+    detail = {f"diffusion_{k}": round(v, 3)
+              for k, v in diff_timer.times.items()}
+
+    # ---- leg 2: nearest-fill path (nearest.yaml) -----------------------
+    cfg = load_config(os.path.join(cfg_dir, "nearest.yaml"))
+    cfg.output_path = out_dir
+    cfg.geo_from = "SPR"
+    cfg.save_input_pc = False
+    near_sec, near_timer = time_leg(cfg, out_dir)
+    detail["nearest_path_sec"] = round(near_sec, 3)
+    detail.update({f"nearest_{k}": round(v, 3)
+                   for k, v in near_timer.times.items()})
 
     # opt-in secondary metric (PD_BENCH_THROUGHPUT=1): batch throughput
     # over all four demo clouds with two shapes in flight (run_dataset
@@ -69,11 +96,12 @@ def main():
         detail["throughput_shapes_ok"] = sum(
             r["status"] == "ok" for r in res.values())
 
+    baseline_a100 = 60.0  # reference full-diffusion e2e sec/shape on A100
     print(json.dumps({
-        "metric": "sec_per_shape_e2e",
-        "value": round(sec, 3),
+        "metric": "sec_per_shape_e2e_full_diffusion",
+        "value": round(diff_sec, 3),
         "unit": "s",
-        "vs_baseline": round(baseline_a100 / sec, 2),
+        "vs_baseline": round(baseline_a100 / diff_sec, 2),
         "detail": detail,
     }))
 
