@@ -1,0 +1,223 @@
+"""Golden-fixture parity: pipeline MATH vs the reference's own torch code.
+
+The reference functions are AST-extracted from /root/reference and run on
+CPU as numerical oracles (tests/reference_oracle.py) — this covers the
+pipeline math the per-module network parity tests don't:
+
+  1. NBF border-shrink masks    (unproject.py:429-475)
+  2. dilate_atlas nearest fill  (unproject.py:480-504 + ours_utils.py:610)
+  3. sparse-image synthesis + shrink-to-fit ratio logic
+                                (ours_utils.py:954-1044)
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torch
+
+from reference_oracle import load_oracles
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return load_oracles()
+
+
+def _blob_mask(rng, res, n_blobs=3, r=(6, 14)):
+    """A smooth random blobby boolean mask."""
+    m = np.zeros((res, res), bool)
+    yy, xx = np.mgrid[:res, :res]
+    for _ in range(n_blobs):
+        cy, cx = rng.integers(10, res - 10, 2)
+        rad = rng.integers(*r)
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= rad ** 2
+    return m
+
+
+# ---------------------------------------------------------------------------
+# 1. NBF border-shrink
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kernels", [(7,), (5, 3), (0,)])
+def test_nbf_shrink_matches_reference(oracle, kernels):
+    from pointdreamer_tpu.pipeline.unproject import shrink_view_visibility
+
+    rng = np.random.default_rng(5)
+    res, V = 48, 3
+    atlas_mask = _blob_mask(rng, res, n_blobs=4)
+    vis = np.stack([_blob_mask(rng, res) & atlas_mask for _ in range(V)])
+
+    ref = oracle["get_shrinked_per_view_per_pixel_visibility_torch"](
+        per_pixel_mask=torch.from_numpy(atlas_mask),
+        per_atlas_pixel_per_view_visibility=torch.from_numpy(
+            vis.transpose(1, 2, 0)),           # [res,res,V]
+        kernel_sizes=list(kernels))
+    ref = np.asarray(ref.numpy()).astype(bool)  # [K,V,res,res]
+
+    mine = np.asarray(shrink_view_visibility(
+        jnp.asarray(atlas_mask), jnp.asarray(vis), kernels)).astype(bool)
+
+    assert mine.shape == ref.shape
+    np.testing.assert_array_equal(mine, ref)
+
+
+# ---------------------------------------------------------------------------
+# 2. dilate_atlas (nearest fill)
+# ---------------------------------------------------------------------------
+
+def test_dilate_atlas_matches_reference(oracle):
+    from pointdreamer_tpu.pipeline.complete import dilate_atlas
+
+    rng = np.random.default_rng(7)
+    res = 48
+    yy, xx = np.mgrid[:res, :res]
+    img = np.stack([yy / res, xx / res, (yy + xx) / (2 * res)],
+                   axis=-1).astype(np.float32)
+    valid = rng.random((res, res)) < 0.25
+    img = img * valid[..., None]
+
+    ref = oracle["dilate_atlas"](
+        torch.from_numpy(img),
+        torch.from_numpy(valid.astype(np.float32)).reshape(1, res, res, 1))
+    ref = np.asarray(ref.numpy())
+
+    mine = np.asarray(dilate_atlas(jnp.asarray(img), jnp.asarray(valid)))
+
+    # exact on known texels
+    np.testing.assert_array_equal(mine[valid], img[valid])
+
+    # Every fill must come from a TRUE euclidean-nearest valid texel (the
+    # contract griddata satisfies).  Integer grids are full of exact-
+    # distance ties, so colors can't be compared pixelwise — the distances
+    # can.  Brute-force the optimal distance and check the JFA source.
+    from pointdreamer_tpu.ops.image import nearest_fill
+    _, src = nearest_fill(jnp.asarray(img), jnp.asarray(valid),
+                          return_sources=True)
+    src = np.asarray(src)
+    vr, vc = np.nonzero(valid)
+    yy2, xx2 = np.mgrid[:res, :res]
+    d_opt = ((yy2[..., None] - vr) ** 2
+             + (xx2[..., None] - vc) ** 2).min(axis=-1)
+    d_got = (yy2 - src[..., 0]) ** 2 + (xx2 - src[..., 1]) ** 2
+    hole = ~valid
+    assert valid[src[..., 0], src[..., 1]].all(), "fill from invalid texel"
+    frac_opt = (d_got[hole] == d_opt[hole]).mean()
+    assert frac_opt > 0.995, f"only {frac_opt:.3%} fills at optimal distance"
+    assert (d_got[hole] - d_opt[hole]).max() <= 2  # 1+JFA near-exactness
+
+    # and the resulting field agrees with the reference's up to tie choice
+    assert np.abs(mine - ref).mean() < 0.01
+    exact = np.all(np.abs(mine - ref) < 1e-6, axis=-1)
+    assert exact.mean() > 0.75, f"only {exact.mean():.2%} texels agree exactly"
+
+
+# ---------------------------------------------------------------------------
+# 3. sparse-image synthesis (ours_utils.py:954-1044)
+# ---------------------------------------------------------------------------
+
+def _make_case(rng, res, n_pts, valid_frac, disk_r):
+    """Points at distinct pixels inside a centered disk foreground."""
+    yy, xx = np.mgrid[:res, :res]
+    fg = (yy - res / 2) ** 2 + (xx - res / 2) ** 2 <= disk_r ** 2
+    fr, fc = np.nonzero(fg)
+    sel = rng.choice(len(fr), size=n_pts, replace=False)
+    rows, cols = fr[sel], fc[sel]
+    colors = np.stack([rows / res, cols / res,
+                       0.5 * np.ones_like(rows)], axis=-1).astype(np.float32)
+    valid = rng.random(n_pts) < valid_frac
+    return fg, rows, cols, colors, valid
+
+
+def _run_mine(fg, rows, cols, colors, valid, res, thresh=0.82):
+    from pointdreamer_tpu.pipeline.project import (ProjectionData,
+                                                   make_sparse_images)
+
+    V, N = 1, len(rows)
+    uvs = np.stack([cols, rows], axis=-1).astype(np.float32) / res
+    proj = ProjectionData(
+        hard_masks=jnp.asarray(fg[None]),
+        face_idxs=jnp.zeros((V, res, res), jnp.int32),
+        mesh_depths=jnp.full((V, res, res), np.inf),
+        uv_centers=jnp.zeros((V, 1, 2)),
+        uv_scales=jnp.ones((V, 1, 1)),
+        padding=0.0,
+        point_uvs=jnp.asarray(uvs[None]),
+        point_depths=jnp.ones((V, N)),
+        point_validation=jnp.asarray(valid[None]),
+    )
+    return make_sparse_images(proj, jnp.asarray(colors), res=res,
+                              mask_ratio_thresh=thresh)
+
+
+def _run_oracle(oracle, fg, rows, cols, colors, valid, res, thresh=0.82):
+    pix = torch.from_numpy(np.stack([rows, cols], axis=-1)).long()
+    out = oracle["get_one_sparse_img"](
+        point_pixels=pix, colors=torch.from_numpy(colors),
+        point_validation=torch.from_numpy(valid),
+        hard_mask=torch.from_numpy(fg), res=res,
+        point_size=1, edge_point_size=1, mask_ratio_thresh=thresh)
+    sparse, m0, m2, ratio, scale = out
+    # the reference flips rows at the very end (its camera convention);
+    # ours keeps one consistent orientation throughout — unflip to compare
+    sparse = np.flip(sparse.numpy().transpose(1, 2, 0), axis=0)
+    m0 = np.flip(m0.numpy()[0], axis=0)
+    m2 = np.flip(m2.numpy()[0], axis=0)
+    scale = float(scale) if torch.is_tensor(scale) else scale
+    return sparse, m0, m2, float(ratio), scale
+
+
+def test_sparse_image_matches_reference_no_rescale(oracle):
+    rng = np.random.default_rng(11)
+    res = 64
+    fg, rows, cols, colors, valid = _make_case(
+        rng, res, n_pts=500, valid_frac=0.8, disk_r=24)
+
+    mine = _run_mine(fg, rows, cols, colors, valid, res)
+    r_sparse, r_m0, r_m2, r_ratio, r_scale = _run_oracle(
+        oracle, fg, rows, cols, colors, valid, res)
+
+    assert r_scale == 1  # below threshold: no shrink
+    assert float(mine.scale_factors[0]) == 1.0
+    np.testing.assert_array_equal(np.asarray(mine.hard_mask0[0]), r_m0)
+    np.testing.assert_array_equal(np.asarray(mine.hard_mask2[0]), r_m2)
+    np.testing.assert_allclose(float(mine.mask_ratios[0]), r_ratio, atol=1e-6)
+
+    got = np.asarray(mine.sparse_imgs[0])
+    # splatted point pixels must agree exactly; edge-augmented pixels pick
+    # the nearest valid point — exact-distance ties may resolve differently
+    edge = np.asarray(oracle["get_forground_inner_edge_mask"](
+        torch.from_numpy(np.flip(fg, axis=0).copy())).numpy())
+    edge = np.flip(edge, axis=0)
+    np.testing.assert_allclose(got[~edge], r_sparse[~edge], atol=1e-6)
+    agree = np.all(np.abs(got[edge] - r_sparse[edge]) < 1e-6, axis=-1)
+    assert agree.mean() > 0.8, f"edge-pixel agreement {agree.mean():.2%}"
+
+
+def test_sparse_image_shrink_to_fit_matches_reference(oracle):
+    """mask_ratio > 0.82 triggers the shrink: the scale factor and the
+    rescaled point painting must match the reference math."""
+    rng = np.random.default_rng(13)
+    res = 96
+    fg, rows, cols, colors, valid = _make_case(
+        rng, res, n_pts=500, valid_frac=0.5, disk_r=42)
+
+    mine = _run_mine(fg, rows, cols, colors, valid, res)
+    r_sparse, r_m0, r_m2, r_ratio, r_scale = _run_oracle(
+        oracle, fg, rows, cols, colors, valid, res)
+
+    assert 0 < r_scale < 1, "case must trigger the shrink branch"
+    np.testing.assert_allclose(float(mine.scale_factors[0]), r_scale,
+                               rtol=1e-6)
+    # the foreground mask is shrunk by a dynamic resize in the reference
+    # and by a static-shape scale_and_translate here — compare by IoU
+    # (the reference rounds the resize target to an even remainder —
+    # after_res — so its effective mask scale differs from the point
+    # scale by up to 1/after_res; a boundary band can't match exactly)
+    m0 = np.asarray(mine.hard_mask0[0]) > 0.5
+    inter = (m0 & (r_m0 > 0.5)).sum()
+    union = (m0 | (r_m0 > 0.5)).sum()
+    assert inter / union > 0.8, f"shrunk-mask IoU {inter/union:.2f}"
+    # painted pixels: identical rescale math up to fp rounding at pixel
+    # boundaries + edge-augmentation ties
+    got = np.asarray(mine.sparse_imgs[0])
+    same = np.all(np.abs(got - r_sparse) < 1e-6, axis=-1)
+    assert same.mean() > 0.97, f"pixel agreement {same.mean():.2%}"
