@@ -8,10 +8,16 @@ Poisson via pymeshlab):
 
   - 'hoppe':  f(x) = weighted mean of n_i . (x - p_i) over kNN
               (Hoppe et al. '92) — pure kNN + dot products, MXU-bound.
-  - 'poisson_fft': splat oriented normals into a grid, solve
-              div V = lap chi spectrally with jnp.fft (the unscreened
-              Poisson reconstruction; SPR's screening term dropped —
-              the FFT solve is exact, global, and ~ms on TPU for 128^3).
+  - 'poisson_fft': splat oriented normals into a grid and solve the
+              SCREENED Poisson system  (-lap + lam w) chi = -div V
+              (Kazhdan & Hoppe 2013, the algorithm behind the reference's
+              pymeshlab SPR, baselines/spr.py:60-65): w is the splatted
+              sample density, so the indicator is pinned to the iso level
+              at the inputs instead of drifting where data is one-sided.
+              The screening diagonal breaks translation invariance, so
+              the solve is preconditioned CG with the exact FFT
+              inverse-Laplacian as preconditioner — a handful of 3D FFTs
+              on TPU (screen_weight=0 recovers the pure spectral solve).
 
 Normal orientation: Riemannian-MST sign propagation on host (scipy),
 the same strategy pymeshlab/o3d use internally.
@@ -212,16 +218,38 @@ def _trilinear_scatter(grid, pts01, vals, res):
     return grid
 
 
-@functools.partial(jax.jit, static_argnames=("res",))
+@functools.partial(jax.jit,
+                   static_argnames=("res", "screen_weight", "screen_iters"))
 def poisson_indicator_grid(
     points01: jnp.ndarray,   # [N, 3] in [0, 1] (grid frame, padded)
     normals: jnp.ndarray,    # [N, 3] outward unit normals
     res: int = 128,
     smooth_sigma: float = 1.5,
+    screen_weight: float = 0.0,
+    screen_iters: int = 16,
 ) -> jnp.ndarray:
-    """Solve lap(chi) = div(V) for the smoothed indicator gradient field V
-    splatted from oriented normals; returns chi [R,R,R] with the iso level
-    shifted so ~0 lies at the input samples (negative = inside)."""
+    """(Optionally screened) Poisson indicator on the grid
+    (negative = inside).
+
+    Solve  (-lap + lam w) chi = -div V  where V is the gaussian-smoothed
+    splat of -normals and w the (smoothed, normalized) splatted sample
+    density — the screening term of Kazhdan & Hoppe 2013 pins chi ~ iso
+    level AT the samples.  lam = `screen_weight` = 0 (the default) is
+    the classic spectral inverse-Laplacian solve.
+
+    Measured guidance (tests/test_ops.py::test_poisson_screening_pins_
+    iso_level and the _screen sweeps): on UNIFORM clean sampling the
+    unscreened solve is already optimal and screening only adds surface
+    ripple (sphere p95 radius error 0.0007 -> 0.011 at lam=4); under
+    10:1 nonuniform sampling lam=4 with screen_iters=16 cuts normalized
+    surface error ~19x (0.157 -> 0.008).  Use lam=0 for evenly scanned
+    clouds, lam=2-4 with screen_iters>=16 for one-sided/partial scans.
+
+    The screened operator is diagonal in neither domain, so we run
+    `screen_iters` preconditioned-CG steps with the exact unscreened FFT
+    solve as preconditioner, started from the unscreened solution.
+    Everything stays on device; ~4 FFTs per iteration.
+    Returns chi [R,R,R] shifted so ~0 lies at the input samples."""
     vec = jnp.zeros((res, res, res, 3), jnp.float32)
     vec = _trilinear_scatter(vec, points01, -normals, res)
 
@@ -236,9 +264,54 @@ def poisson_indicator_grid(
     Vz = jnp.fft.fftn(vec[..., 2]) * gauss
     two_pi_i = 2j * jnp.pi
     div = two_pi_i * (kx * Vx + ky * Vy + kz * Vz)
-    denom = -(two_pi_i ** 2) * k2  # = 4 pi^2 k2
-    chi_hat = jnp.where(k2 > 0, div / jnp.where(k2 > 0, denom, 1.0), 0.0)
-    chi = jnp.real(jnp.fft.ifftn(chi_hat))
+    lap = 4.0 * (jnp.pi ** 2) * k2               # -lap in fourier
+    inv_lap = jnp.where(k2 > 0, 1.0 / jnp.where(k2 > 0, lap, 1.0), 0.0)
+    chi = jnp.real(jnp.fft.ifftn(div * inv_lap))  # unscreened solution
+
+    if screen_weight > 0.0 and screen_iters > 0:
+        # sample-density screening weights, smoothed with the SAME
+        # gaussian as V (raw trilinear splats are voxel spikes at
+        # typical densities — pinning chi only at sample voxels dimples
+        # the surface; SPR's B-spline bases average the constraint over
+        # a support region, the smoothing reproduces that), then
+        # mean-normalized over the occupied band so screen_weight is
+        # resolution/point-count independent
+        dens = _trilinear_scatter(
+            jnp.zeros((res, res, res, 1), jnp.float32), points01,
+            jnp.ones((points01.shape[0], 1), jnp.float32), res)[..., 0]
+        dens = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(dens) * gauss))
+        dens = jnp.maximum(dens, 0.0)
+        band_mean = (dens * dens).sum() / jnp.maximum(dens.sum(), 1e-20)
+        w = dens * (screen_weight / jnp.maximum(band_mean, 1e-20))
+        b = jnp.real(jnp.fft.ifftn(div))          # -div V in real space
+
+        def A(x):
+            return jnp.real(jnp.fft.ifftn(
+                lap * jnp.fft.fftn(x))) + w * x
+
+        def Minv(r):
+            return jnp.real(jnp.fft.ifftn(
+                jnp.fft.fftn(r) / (lap + screen_weight)))
+
+        # PCG from the unscreened solution
+        r = b - A(chi)
+        z = Minv(r)
+        p = z
+        rz = jnp.vdot(r, z).real
+
+        def step(carry, _):
+            chi, r, p, rz = carry
+            Ap = A(p)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap).real, 1e-30)
+            chi = chi + alpha * p
+            r = r - alpha * Ap
+            z = Minv(r)
+            rz_new = jnp.vdot(r, z).real
+            p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+            return (chi, r, p, rz_new), None
+
+        (chi, _, _, _), _ = jax.lax.scan(
+            step, (chi, r, p, rz), None, length=screen_iters)
 
     # iso level = mean chi at the sample positions
     g = points01 * (res - 1)

@@ -6,9 +6,11 @@ and the SPR baseline (baselines/spr.py:26-74, pymeshlab screened Poisson).
 
 TPU-native backends:
   'hoppe'       — oriented-normal tangent-plane SDF (ops.sdf.hoppe_sdf)
-  'SPR'/'poisson_fft' — FFT Poisson indicator (ops.sdf.poisson_indicator_grid)
+  'SPR'/'poisson_fft' — FFT-Poisson indicator; `screen_weight` > 0 adds
+                  SPR's screening term via preconditioned CG
+                  (ops.sdf.poisson_indicator_grid) for nonuniform scans
   'POCO'        — the flax occupancy network (models/occupancy); requires a
-                  converted checkpoint, else falls back to 'hoppe'.
+                  converted checkpoint, else falls back to 'SPR'.
 
 All evaluate a dense 128^3 field (no python region growing — dense is the
 TPU-fast shape), extract via marching tetrahedra, and decimate on host.
@@ -157,6 +159,7 @@ def reconstruct_mesh(
     smooth_mesh: bool = False,
     refine_iters: int = 10,
     iso_method: str = "mc",
+    screen_weight: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Point cloud (normalized to [-0.5, 0.5]) -> (vertices, faces).
 
@@ -213,8 +216,12 @@ def reconstruct_mesh(
         # stays ON DEVICE: no refine pass reads it (field_fn is None) and
         # marching_tets consumes device fields directly — the np round
         # trip cost 2x8 MB through the tunnel
+        # screen_weight > 0 enables SPR's screening term — measurably
+        # better on one-sided/nonuniform scans, measurably worse on
+        # evenly sampled ones (see poisson_indicator_grid docstring)
         field = osdf.poisson_indicator_grid(
-            jnp.asarray(pts01), jnp.asarray(normals), res=grid_res)
+            jnp.asarray(pts01), jnp.asarray(normals), res=grid_res,
+            screen_weight=screen_weight)
         if _prof:
             import jax as _jax
             _jax.block_until_ready(field)

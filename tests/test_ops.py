@@ -231,6 +231,41 @@ def test_poisson_fft_sphere():
     assert chi[2, 2, 2] > 0             # corner outside
 
 
+def test_poisson_screening_pins_iso_level():
+    """Nonuniform sampling drifts the unscreened indicator's level; the
+    screening term (Kazhdan & Hoppe 2013 / pymeshlab SPR,
+    baselines/spr.py:60-65) pins chi ~ 0 at the surface."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((6000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # 10:1 density imbalance between hemispheres
+    keep = (v[:, 2] > 0) | (rng.random(len(v)) < 0.1)
+    v = v[keep]
+    pts01 = (v * 0.4) / 1.2 + 0.5
+
+    # uniform held-out test points on the true surface
+    t = rng.standard_normal((2000, 3))
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    q01 = (t * 0.4) / 1.2 + 0.5
+
+    def surf_err(chi):
+        # |chi| at the true surface, normalized by the inside-outside swing
+        g = np.clip((q01 * 63).round().astype(int), 0, 63)
+        swing = chi[2, 2, 2] - chi[32, 32, 32]
+        return np.abs(chi[g[:, 0], g[:, 1], g[:, 2]]).mean() / swing
+
+    base = np.asarray(osdf.poisson_indicator_grid(
+        jnp.asarray(pts01, jnp.float32), jnp.asarray(v, jnp.float32),
+        res=64, screen_weight=0.0))
+    scr = np.asarray(osdf.poisson_indicator_grid(
+        jnp.asarray(pts01, jnp.float32), jnp.asarray(v, jnp.float32),
+        res=64, screen_weight=4.0, screen_iters=16))
+    assert np.isfinite(scr).all()
+    assert scr[32, 32, 32] < 0 and scr[2, 2, 2] > 0
+    e0, e1 = surf_err(base), surf_err(scr)
+    assert e1 < e0, f"screening did not reduce surface error: {e1} vs {e0}"
+
+
 # ------------------------------- splat ------------------------------------
 
 def test_paint_pixels_and_visibility():
