@@ -56,6 +56,11 @@ class PipelineConfig:
     # chart-boundary error on sharp-edged shapes — a resolution
     # artifact, not a geometry one: sphere and full-res are equal)
     iso_method: str = "mc"
+    # SPR screening term (Kazhdan & Hoppe 2013) strength for the
+    # 'SPR'/'poisson_fft' backend: 0 = pure spectral solve (best for
+    # evenly sampled scans); 1-4 pins the iso level at the samples —
+    # measurably better on one-sided/nonuniform scans (ops/sdf.py)
+    spr_screen_weight: float = 0.0
 
     # ---- texture generation ---------------------------------------------
     # 'DDNM_inpaint' | 'linear' | 'nearest'
@@ -68,6 +73,14 @@ class PipelineConfig:
     # w8a8 UNet torso (int8 MXU passes, ~1.6x faster denoise loop on v5e);
     # quality is approximate — off by default for reference parity
     ddnm_quant_int8: bool = False
+    # GT-texture ablation (reference recon_one_shape's
+    # use_GT_multi_view_img / load_exist_dense_img_path branches,
+    # ours_utils.py:1046-1200): pre-rendered DENSE views replace the
+    # inpainting stage; layout <dir>/{i}_inpainted.png (or <dir>/{i}.png).
+    # The views must be in the pipeline's own view frame: same rig,
+    # res x res, and crop_img: false (dense renders carry no shrink-to-fit
+    # scale, so the pixel<->texel mapping must be the uncropped one).
+    gt_views_path: Optional[str] = None
 
     # ---- cameras (reference configs/default.yaml:33-37) ------------------
     camera_distribution: str = "fibonacci_sphere"

@@ -185,7 +185,8 @@ class Pipeline:
                     cfg.noise_stddev if not cfg.input_already_noisy else None,
                     self.poco_apply, smooth_mesh=cfg.smooth_mesh,
                     refine_iters=cfg.refine_vertex_iters,
-                    iso_method=cfg.iso_method)
+                    iso_method=cfg.iso_method,
+                    screen_weight=cfg.spr_screen_weight)
                 # stage-cache artifact, read only by future runs: write it
                 # on the io thread (flush_async_io at export guards reuse)
                 pio._PENDING.append(pio._async_executor().submit(
@@ -202,18 +203,23 @@ class Pipeline:
         faces_j = jnp.asarray(faces_p)
         f_normals = orast.face_normals(verts_j, faces_j)
 
-        # ---- unwrap + atlas bake (cached) -----------------------------
-        with timer.stage("unwrap") as tbox:
-            R = cfg.xatlas_texture_res
-            unwrap_cache = os.path.join(geo_dir, f"unwrap_{R}.npz")
+        # ---- unwrap (host LSCM/packing) on a worker thread -------------
+        # Unwrap needs only (verts, faces); nothing consumes it until the
+        # unproject stage.  Running it on the io thread hides its ~0.7 s
+        # of host work under the device-bound project/inpaint stages (the
+        # DDNM scan alone holds the device for ~11 s while the host idles).
+        R = cfg.xatlas_texture_res
+        unwrap_cache = os.path.join(geo_dir, f"unwrap_{R}.npz")
+
+        def _unwrap_host():
             if os.path.exists(unwrap_cache):
                 z = np.load(unwrap_cache)
-                uvs, face_uv_idx = z["uvs"], z["face_uv_idx"]
-            else:
-                uvs, face_uv_idx = punwrap.unwrap(verts, faces, atlas_res=R)
-                np.savez(unwrap_cache, uvs=uvs, face_uv_idx=face_uv_idx)
-            atlas = punwrap.bake_atlas(verts_j, faces_j, uvs, face_uv_idx, R)
-            tbox["out"] = atlas["gb_pos"]
+                return z["uvs"], z["face_uv_idx"]
+            uv, fuv = punwrap.unwrap(verts, faces, atlas_res=R)
+            np.savez(unwrap_cache, uvs=uv, face_uv_idx=fuv)
+            return uv, fuv
+
+        unwrap_future = pio._async_executor().submit(_unwrap_host)
 
         # ---- project + sparse images ----------------------------------
         with timer.stage("project") as tbox:
@@ -244,10 +250,35 @@ class Pipeline:
                  for i in range(self.rig.num_views)])
 
         # ---- inpaint (cached) -----------------------------------------
+        scale_factors = sparse.scale_factors
         with timer.stage("inpaint") as tbox:
             cached = [os.path.join(others_dir, f"{i}_inpainted.png")
                       for i in range(self.rig.num_views)]
-            if all(os.path.exists(p) for p in cached):
+            if cfg.gt_views_path:
+                # GT-texture ablation: pre-rendered dense views stand in
+                # for the inpainted ones (reference recon_one_shape
+                # use_GT_multi_view_img / load_exist_dense_img_path,
+                # ours_utils.py:1141-1161)
+                if cfg.crop_img and log:
+                    log.warning("gt_views_path with crop_img=True: the "
+                                "pre-rendered views must match the crop "
+                                "frame exactly — use crop_img: false")
+                imgs = []
+                for i in range(self.rig.num_views):
+                    p = os.path.join(cfg.gt_views_path, f"{i}_inpainted.png")
+                    if not os.path.exists(p):
+                        p = os.path.join(cfg.gt_views_path, f"{i}.png")
+                    imgs.append(pio.load_rgb(p))
+                inpainted = jnp.asarray(np.stack(imgs))
+                if inpainted.shape[1] != cfg.res:
+                    import jax as _jax
+
+                    inpainted = _jax.image.resize(
+                        inpainted, (len(imgs), cfg.res, cfg.res, 3),
+                        method="linear")
+                # dense renders carry no shrink-to-fit rescale
+                scale_factors = jnp.ones_like(scale_factors)
+            elif all(os.path.exists(p) for p in cached):
                 inpainted = jnp.asarray(
                     np.stack([pio.load_rgb(p) for p in cached]))
             else:
@@ -257,6 +288,12 @@ class Pipeline:
                 pio.save_rgb_stack_async(inpainted, cached)
             tbox["out"] = inpainted
 
+        # ---- unwrap result + atlas bake (cached) ------------------------
+        with timer.stage("unwrap") as tbox:
+            uvs, face_uv_idx = unwrap_future.result()
+            atlas = punwrap.bake_atlas(verts_j, faces_j, uvs, face_uv_idx, R)
+            tbox["out"] = atlas["gb_pos"]
+
         # ---- unproject (NBF) ------------------------------------------
         with timer.stage("unproject") as tbox:
             up = punproject.unproject(
@@ -264,7 +301,7 @@ class Pipeline:
                 atlas["gb_pos"], atlas["mask"],
                 atlas["per_atlas_pixel_face_id"],
                 proj.mesh_depths, proj.uv_centers, proj.uv_scales,
-                proj.padding, sparse.scale_factors,
+                proj.padding, scale_factors,
                 # The reference's `edge_dilate_kernels*(res//256)` at
                 # unproject.py:289 is python list REPETITION: the border
                 # width stays 21 at every resolution.  Default matches
@@ -307,7 +344,7 @@ class Pipeline:
                     init, inpainted, self.rig, verts_j, faces_j,
                     jnp.asarray(uvs), jnp.asarray(face_uv_idx),
                     proj.uv_centers, proj.uv_scales, proj.padding,
-                    sparse.scale_factors, svis,
+                    scale_factors, svis,
                     render_res=cfg.optimize_render_res,
                     lr=cfg.optimize_lr, iterations=cfg.optimize_iters)
                 tbox["out"] = atlas_img

@@ -247,6 +247,7 @@ def test_end_to_end_cube(tmp_path, demo_ply, method):
     assert err < 0.22, f"mean texture error {err}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["wo_NBF", "optimize_complete",
                                      "no_crop_unproject"])
 def test_end_to_end_config_variants(tmp_path, demo_ply, variant):
@@ -275,6 +276,7 @@ def test_end_to_end_config_variants(tmp_path, demo_ply, variant):
     assert np.isfinite(atlas).all()
 
 
+@pytest.mark.slow
 def test_multilevel_nbf(tmp_path, demo_ply):
     """Multi-level NBF kernel list (configs comment: [21,11,7,5,3,1])."""
     cfg = PipelineConfig(
@@ -288,6 +290,7 @@ def test_multilevel_nbf(tmp_path, demo_ply):
     assert os.path.exists(obj)
 
 
+@pytest.mark.slow
 def test_end_to_end_ddnm_tiny(tmp_path, demo_ply):
     """Full pipeline through the DDNM inpainting dispatch with a tiny
     randomly-initialized UNet (4 denoise steps) — exercises the entire
@@ -316,3 +319,62 @@ def test_end_to_end_ddnm_tiny(tmp_path, demo_ply):
     assert os.path.exists(obj)
     atlas = pio.load_rgb(obj.replace(".obj", ".png"))
     assert np.isfinite(atlas).all()
+
+
+@pytest.mark.slow
+def test_end_to_end_gt_views(tmp_path, demo_ply):
+    """GT-texture ablation (reference recon_one_shape use_GT_multi_view_img
+    / load_exist_dense_img_path, ours_utils.py:1046-1200): pre-rendered
+    dense views replace the inpainting stage."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.eval.render import render_textured_views
+
+    base = dict(
+        texture_gen_method="nearest",
+        geo_from="hoppe",
+        grid_res=48, target_face_num=2000, cam_res=128, res=64,
+        view_num=8, xatlas_texture_res=128, edge_dilate_kernels=[5],
+        optimize_from="None", point_validation_by_o3d=False,
+        complete_unseen_by="unproject", crop_img=False,
+    )
+    cfg1 = PipelineConfig(output_path=str(tmp_path / "ref_run"), **base)
+    pipe1 = Pipeline.create(cfg1)
+    obj1 = pipe1.recon_one_textured_mesh(demo_ply)
+
+    # render 8 dense "GT" views of the run-1 textured mesh in the SAME
+    # uncropped view frame the pipeline uses
+    m = pio.load_obj(obj1)
+    atlas = pio.load_rgb(os.path.join(os.path.dirname(obj1),
+                                      "model_normalized.png"))[::-1]
+    views = render_textured_views(
+        pipe1.rig, jnp.asarray(m["vertices"]),
+        jnp.asarray(m["faces"]), jnp.asarray(m["uvs"]),
+        jnp.asarray(m["face_uv_idx"]), jnp.asarray(atlas), res=64)
+    gt_dir = tmp_path / "gt_views"
+    gt_dir.mkdir()
+    for i in range(8):
+        pio.save_rgb(np.asarray(views[i]), str(gt_dir / f"{i}.png"))
+
+    # run 2: same geometry (copy the stage cache), GT views as the
+    # dense-image source
+    cfg2 = PipelineConfig(output_path=str(tmp_path / "gt_run"),
+                          gt_views_path=str(gt_dir), **base)
+    name = os.path.splitext(os.path.basename(demo_ply))[0]
+    (tmp_path / "gt_run" / name / "geo").mkdir(parents=True)
+    shutil.copy(tmp_path / "ref_run" / name / "geo" / "untextured.obj",
+                tmp_path / "gt_run" / name / "geo" / "untextured.obj")
+    pipe2 = Pipeline.create(cfg2)
+    obj2 = pipe2.recon_one_textured_mesh(demo_ply)
+
+    # the GT-driven atlas must reproduce run 1's colors at shared texels
+    a1 = pio.load_rgb(os.path.join(os.path.dirname(obj1),
+                                   "model_normalized.png"))
+    a2 = pio.load_rgb(os.path.join(os.path.dirname(obj2),
+                                   "model_normalized.png"))
+    both = (a1.sum(-1) > 0.05) & (a2.sum(-1) > 0.05)
+    assert both.mean() > 0.2
+    err = np.abs(a1[both] - a2[both]).mean()
+    assert err < 0.1, f"GT-view atlas diverges: mean err {err}"
