@@ -183,15 +183,24 @@ class AttentionBlock(nn.Module):
         y = _norm("norm")(x.reshape(b, h * w, c)).astype(self.dtype)
         qkv = (QDense8(3 * c, dtype=self.dtype, name="qkv") if self.quant
                else nn.Dense(3 * c, dtype=self.dtype, name="qkv"))(y)
-        # legacy order: per head, channels are [q | k | v]
-        qkv = qkv.reshape(b, h * w, heads, 3 * hd)
-        q, k, v = jnp.split(qkv, 3, axis=-1)            # [b,t,heads,hd]
-        scale = 1.0 / math.sqrt(math.sqrt(hd))
-        logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
-                            preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        a = jnp.einsum("bhts,bshd->bthd", weights.astype(self.dtype), v)
-        a = a.reshape(b, h * w, c)
+        from ...kernels.attention_pallas import (attention_pallas_ok,
+                                                 fused_attention_qkv)
+
+        if attention_pallas_ok(h * w, heads, hd):
+            # fused in-VMEM softmax on the packed qkv: XLA's path round-
+            # trips the fp32 [b,heads,t,t] logits through HBM (~2 ms per
+            # 32^2 block)
+            a = fused_attention_qkv(qkv, heads, hd)
+        else:
+            # legacy order: per head, channels are [q | k | v]
+            qkv4 = qkv.reshape(b, h * w, heads, 3 * hd)
+            q, k, v = jnp.split(qkv4, 3, axis=-1)       # [b,t,heads,hd]
+            scale = 1.0 / math.sqrt(math.sqrt(hd))
+            logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                                preferred_element_type=jnp.float32)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            a = jnp.einsum("bhts,bshd->bthd", weights.astype(self.dtype), v)
+            a = a.reshape(b, h * w, c)
         out = (QDense8(c, dtype=self.dtype, name="proj") if self.quant
                else nn.Dense(c, dtype=self.dtype,
                              kernel_init=nn.initializers.zeros, name="proj"))(a)
