@@ -16,15 +16,28 @@ def load_poco_field(checkpoint_path: str, logger=None,
     """Returns a factory points -> field_fn for pipeline.geometry.
 
     Reference: create_POCO_network (generate_1.py:54-68); `decoder`
-    mirrors the network_decoder config key (generate.py:305)."""
+    mirrors the network_decoder config key (generate.py:305).
+
+    Accepts either a reference torch checkpoint (checkpoint.pth, mapped
+    through convert.load_torch_checkpoint) or a native checkpoint written
+    by train.save_checkpoint (pickle with a 'params' tree — e.g. from
+    cli/train_poco_synthetic.py)."""
+    import pickle
+
     import jax
+    import jax.numpy as jnp
 
     if logger:
         logger.info(f"Loading POCO checkpoint {checkpoint_path} "
                     f"(decoder={decoder})")
-    params = load_torch_checkpoint(checkpoint_path)
-    import jax.numpy as jnp
-
+    try:
+        with open(checkpoint_path, "rb") as f:
+            blob = pickle.load(f)
+        if not (isinstance(blob, dict) and "params" in blob):
+            raise ValueError("not a native checkpoint")
+        params = blob["params"]
+    except Exception:
+        params = load_torch_checkpoint(checkpoint_path)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     def factory(points):
