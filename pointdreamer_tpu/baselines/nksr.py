@@ -1,0 +1,268 @@
+"""Kernel-field surface reconstruction baseline (the NKSR model class).
+
+Reference: baselines/NKSR.py — normalizes a colored cloud, estimates
+normals (pymeshlab `compute_normal_for_point_clouds`, NKSR.py:150-155),
+fits a kernel field with `nksr.Reconstructor.reconstruct` (a pretrained
+NEURAL kernel), attaches a `PCNNField` nearest-point color field
+(NKSR.py:160-163), extracts a refined dual mesh (`mise_iter=2`), and
+writes a vertex-colored obj/ply pair (NKSR.py:168-189).
+
+NKSR's model class is kernel regression over point-centered basis
+functions: f(x) = sum_j alpha_j K(x, c_j), alpha solved from on/off
+surface constraints — the learned part is only WHICH kernel.  No
+pretrained kernel exists offline, so this module implements the same
+model class with the analytic BIHARMONIC kernel phi(r) = r plus a
+linear polynomial tail (Carr et al. 2001 RBF reconstruction, NKSR's
+non-learned ancestor; a decaying kernel is unusable here — its far
+field returns to the zero iso level and marching cubes finds a
+spurious outer shell).  Designed TPU-first:
+
+  - centers  = voxel-stride subsample of the cloud;
+  - constraints = f(p)=0 on samples, f(p ± eps n)=± eps off-surface,
+    plus far-field points pinned to their (positive) distance to the
+    cloud so the polynomial tail is SDF-like at the grid boundary;
+  - solve    = CG on the ridge normal equations where the [M, N] kernel
+    matrix is NEVER materialized — each matvec streams [chunk, N]
+    blocks built from one MXU matmul (|x-c|^2 via x.c) and a fused
+    sqrt, so memory stays O(N) while the FLOPs stay in the MXU;
+  - extraction = dense grid eval (same streaming matmul) + the repo's
+    256-case marching cubes; `mise_iter` maps to Newton refinement of
+    iso-vertices against the continuous kernel field;
+  - color    = kNN inverse-distance interpolation of the input cloud's
+    colors at the mesh vertices (the PCNN color field's math).
+
+`recon_one_shape_NKSR` replaces the round-2 NotImplementedError stub;
+`python -m pointdreamer_tpu.cli.nksr_baseline` mirrors the reference
+CLI surface (file-or-directory input, output_baseline/NKSR layout).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["fit_kernel_field", "recon_one_shape_NKSR"]
+
+
+# --------------------------------------------------------------------------
+# streaming kernel matvecs
+# --------------------------------------------------------------------------
+
+def _phi_block(x, c):
+    """Biharmonic kernel block phi(|x-c|) = |x-c| without materializing
+    differences: |x-c|^2 = |x|^2 - 2 x.c + |c|^2 — one MXU matmul plus
+    rank-1 terms, then a fused sqrt."""
+    import jax.numpy as jnp
+
+    d2 = (jnp.sum(x * x, -1, keepdims=True)
+          - 2.0 * (x @ c.T)
+          + jnp.sum(c * c, -1)[None, :])
+    return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+def _make_matvecs(X, C, chunk: int):
+    """Design matrix A = [phi(X, C) | 1 | X]  (shape [M, N+4], never
+    materialized).  Returns (Av, ATu): v [N+4] -> A v [M] and
+    u [M] -> A^T u [N+4], streamed in [chunk, N] blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    M, N = X.shape[0], C.shape[0]
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    Xb = Xp.reshape(n_chunks, chunk, 3)
+
+    @jax.jit
+    def Av(v):
+        a, b = v[:N], v[N:]
+
+        def body(_, xb):
+            return None, (_phi_block(xb, C) @ a + b[0] + xb @ b[1:])
+        _, out = jax.lax.scan(body, None, Xb)
+        return out.reshape(-1)[:M]
+
+    @jax.jit
+    def ATu(u):
+        up = jnp.pad(u, (0, pad)).reshape(n_chunks, chunk)
+
+        def body(acc, xu):
+            xb, ub = xu
+            ka = acc[0] + _phi_block(xb, C).T @ ub
+            kb = acc[1] + jnp.concatenate([ub.sum()[None], xb.T @ ub])
+            return (ka, kb), None
+        (ka, kb), _ = jax.lax.scan(
+            body, (jnp.zeros(N, X.dtype), jnp.zeros(4, X.dtype)), (Xb, up))
+        return jnp.concatenate([ka, kb])
+
+    return Av, ATu
+
+
+def _subsample_centers(pts: np.ndarray, max_centers: int,
+                       seed: int = 0) -> np.ndarray:
+    """Voxel-stride subsample: one representative per occupied voxel at
+    the finest resolution that yields <= max_centers cells (NKSR builds
+    its sparse basis on a voxel hierarchy; one level suffices for a
+    single analytic kernel)."""
+    if len(pts) <= max_centers:
+        return pts
+    lo, hi = pts.min(0) - 1e-6, pts.max(0) + 1e-6
+    best = None
+    res = 16
+    while res < 512:
+        cell = np.floor((pts - lo) / (hi - lo) * res).astype(np.int64)
+        key = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+        uniq, first = np.unique(key, return_index=True)
+        if len(uniq) > max_centers:
+            break
+        best = first
+        res *= 2
+    if best is None:  # even 16^3 overflows: random fallback
+        rng = np.random.default_rng(seed)
+        return pts[rng.choice(len(pts), max_centers, replace=False)]
+    return pts[best]
+
+
+def fit_kernel_field(xyz: np.ndarray, normals: np.ndarray,
+                     max_centers: int = 4096, max_constraints: int = 24576,
+                     eps: float = 0.02, n_far: int = 128,
+                     ridge: float = 1e-3, cg_iters: int = 60,
+                     chunk: int = 4096, seed: int = 0):
+    """Fit f(x) = sum_j alpha_j |x - c_j| + b0 + b.x to the oriented
+    cloud; returns (field_fn [M,3]->[M] (positive outside), centers).
+
+    Constraints (Carr et al. '01): f = 0 at every kept sample, f = ±eps
+    at p ± eps n, f = +dist(q, cloud) at far points q on a bounding
+    sphere (pins the polynomial tail positive-outside).  Coefficients
+    from ridge-regularized normal equations (A^T A + lam I) w = A^T b
+    via CG: two streamed matvecs per iteration, all MXU matmuls.
+    """
+    import jax.numpy as jnp
+
+    pts = np.asarray(xyz, np.float32)
+    nrm = np.asarray(normals, np.float32)
+    C = _subsample_centers(pts, max_centers, seed)
+    N = len(C)
+
+    n_on = min(len(pts), max_constraints // 3)
+    if len(pts) > n_on:
+        rng = np.random.default_rng(seed)
+        sel = rng.choice(len(pts), n_on, replace=False)
+        p, n = pts[sel], nrm[sel]
+    else:
+        p, n = pts, nrm
+
+    # far-field ring: radius ~1.4x the cloud's bounding radius
+    rng = np.random.default_rng(seed + 1)
+    center = pts.mean(0)
+    rad = float(np.linalg.norm(pts - center, axis=1).max())
+    d = rng.standard_normal((n_far, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    far = center + d * (1.4 * rad)
+    from ..ops.knn import knn as _knn
+    fd2, _ = _knn(jnp.asarray(far), jnp.asarray(C), k=1)
+    far_val = np.sqrt(np.asarray(fd2)[:, 0])
+
+    X = np.concatenate([p, p + eps * n, p - eps * n, far]).astype(np.float32)
+    b = np.concatenate([np.zeros(len(p)), np.full(len(p), eps),
+                        np.full(len(p), -eps), far_val]).astype(np.float32)
+
+    Xj, Cj = jnp.asarray(X), jnp.asarray(C)
+    Av, ATu = _make_matvecs(Xj, Cj, chunk)
+
+    bj = jnp.asarray(b)
+    rhs = ATu(bj)
+    # ridge scaled by constraint count; the polynomial tail is left
+    # essentially free (1e-3 of the kernel ridge) so it can absorb the
+    # global SDF trend
+    lam = np.concatenate([
+        np.full(N, ridge * len(X) / max(N, 1), np.float32),
+        np.full(4, 1e-3 * ridge, np.float32)])
+    lamj = jnp.asarray(lam)
+
+    def A_(v):
+        return ATu(Av(v)) + lamj * v
+
+    w = jnp.zeros(N + 4, jnp.float32)
+    r = rhs - A_(w)
+    q = r
+    rr = jnp.vdot(r, r).real
+    for _ in range(cg_iters):
+        Aq = A_(q)
+        alpha = rr / jnp.maximum(jnp.vdot(q, Aq).real, 1e-30)
+        w = w + alpha * q
+        r = r - alpha * Aq
+        rr_new = jnp.vdot(r, r).real
+        q = r + (rr_new / jnp.maximum(rr, 1e-30)) * q
+        rr = rr_new
+
+    def field_fn(q_pts):
+        """[M,3] -> [M]; positive outside (pipeline convention)."""
+        qj = jnp.asarray(np.asarray(q_pts, np.float32))
+        Aq, _ = _make_matvecs(qj, Cj, chunk)
+        return np.asarray(Aq(w))
+
+    return field_fn, np.asarray(C)
+
+
+def recon_one_shape_NKSR(xyz: np.ndarray, rgb01: Optional[np.ndarray] = None,
+                         grid_res: int = 128, simplify_face_num: int = 0,
+                         mise_iter: int = 2, color_knn: int = 3,
+                         max_centers: int = 4096,
+                         ) -> Tuple[np.ndarray, np.ndarray,
+                                    Optional[np.ndarray]]:
+    """Colored cloud (normalized to [-0.5, 0.5]) -> (verts, faces,
+    vertex_colors or None).  Mirrors the reference flow NKSR.py:96-168:
+    estimate normals, fit the kernel field, extract + refine, color."""
+    import jax.numpy as jnp
+
+    from ..ops import iso as oiso
+    from ..ops import knn as oknn
+    from ..ops.sdf import estimate_oriented_normals
+
+    pts = np.asarray(xyz, np.float32)
+    normals = estimate_oriented_normals(pts)
+    field_fn, _ = fit_kernel_field(pts, normals, max_centers=max_centers)
+
+    lo, hi = -0.6, 0.6
+    axis = np.linspace(lo, hi, grid_res, dtype=np.float32)
+    g = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"),
+                 -1).reshape(-1, 3)
+    vals = field_fn(g).reshape(grid_res, grid_res, grid_res)
+    verts, faces = oiso.marching_cubes(jnp.asarray(vals),
+                                       jnp.asarray(axis))
+    verts, faces = np.asarray(verts), np.asarray(faces)
+
+    if mise_iter > 0 and len(verts):
+        # reference extract_dual_mesh(mise_iter=2): refine vertices
+        # against the CONTINUOUS field — damped Newton along the
+        # central-difference gradient, step bounded by half a cell
+        h = (hi - lo) / (grid_res - 1)
+        step = 0.5 * h
+        offs = np.eye(3, dtype=np.float32) * (0.5 * h)
+        for _ in range(mise_iter):
+            f0 = field_fn(verts)
+            grad = np.stack(
+                [field_fn(verts + offs[i]) - field_fn(verts - offs[i])
+                 for i in range(3)], -1) / h
+            gn = grad / np.maximum(
+                np.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+            gmag = np.maximum(np.linalg.norm(grad, axis=-1), 1e-9)
+            verts = verts - gn * np.clip(f0 / gmag, -step, step)[:, None]
+            step *= 0.5
+
+    if simplify_face_num and len(faces) > simplify_face_num:
+        from ..native import qem
+        verts, faces = qem.simplify(verts, faces, simplify_face_num)
+
+    colors = None
+    if rgb01 is not None and len(verts):
+        # PCNNField: interpolate input colors at the vertices (kNN IDW)
+        d2, idx = oknn.knn(jnp.asarray(verts), jnp.asarray(pts),
+                           k=color_knn)
+        w = 1.0 / jnp.maximum(jnp.asarray(d2), 1e-12)
+        w = w / w.sum(-1, keepdims=True)
+        cols = jnp.asarray(np.asarray(rgb01, np.float32))[np.asarray(idx)]
+        colors = np.asarray((np.asarray(w)[..., None] * cols).sum(1))
+
+    return verts, faces, colors

@@ -5,9 +5,11 @@ quadric decimation, :26-74).  pymeshlab doesn't exist here; the TPU
 equivalent is the FFT Poisson indicator (ops.sdf.poisson_indicator_grid)
 + marching tetrahedra + C++ QEM — same role, device-native.
 
-baselines/NKSR.py (Neural Kernel Surface Reconstruction) requires the
-external nksr package + its pretrained kernel and is gated with a clear
-error, as in the reference where it needs a separate conda env.
+baselines/NKSR.py (Neural Kernel Surface Reconstruction) is covered by
+baselines/nksr.py: the same kernel-field model class with an analytic
+gaussian kernel standing in for the pretrained neural one (which needs
+the external nksr package + weights, run in a separate conda env in the
+reference).
 """
 from __future__ import annotations
 
@@ -31,10 +33,12 @@ def recon_one_shape_SPR(xyz: np.ndarray, rgb01: Optional[np.ndarray] = None,
 
 
 def recon_one_shape_NKSR(*args, **kwargs):
-    raise NotImplementedError(
-        "NKSR needs the external `nksr` package and its pretrained kernel "
-        "(reference baselines/NKSR.py runs it in a separate conda env); "
-        "use geo_from='SPR' or 'hoppe' instead")
+    """Kernel-field reconstruction (see baselines/nksr.py): the NKSR
+    model class with an analytic gaussian kernel in place of the
+    pretrained neural one (which needs the external nksr package)."""
+    from .nksr import recon_one_shape_NKSR as _impl
+
+    return _impl(*args, **kwargs)
 
 
 def main(pc_file: str, out_obj: str, simplify_face_num: int = 10000):
