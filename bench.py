@@ -64,6 +64,28 @@ def main():
     detail = {f"diffusion_{k}": round(v, 3)
               for k, v in diff_timer.times.items()}
 
+    # ---- leg 1b: flagship THROUGHPUT over the 4 demo clouds -----------
+    # Two shapes in flight (run_dataset concurrency): one shape's host
+    # stages (LSCM unwrap, packing, IO) hide under the other's ~11 s
+    # device-bound DDNM scan, so sec/shape approaches pure device time.
+    # All demo clouds share the 32768-point padding bucket -> the warm
+    # pass reuses the leg-1 executables.
+    if os.environ.get("PD_BENCH_SKIP_TPUT") != "1":
+        from pointdreamer_tpu.pipeline.batch import run_dataset
+
+        demo_dir = "/root/reference/dataset/demo_data"
+        plys = sorted(os.path.join(demo_dir, p)
+                      for p in os.listdir(demo_dir) if p.endswith(".ply"))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        run_dataset(cfg, plys, concurrency=2)   # warm remaining buckets
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t1 = time.time()
+        res = run_dataset(cfg, plys, concurrency=2)
+        detail["throughput_sec_per_shape_full_diffusion"] = round(
+            (time.time() - t1) / max(len(plys), 1), 3)
+        detail["throughput_shapes_ok"] = sum(
+            r["status"] == "ok" for r in res.values())
+
     # ---- leg 2: nearest-fill path (nearest.yaml) -----------------------
     cfg = load_config(os.path.join(cfg_dir, "nearest.yaml"))
     cfg.output_path = out_dir
@@ -74,12 +96,7 @@ def main():
     detail.update({f"nearest_{k}": round(v, 3)
                    for k, v in near_timer.times.items()})
 
-    # opt-in secondary metric (PD_BENCH_THROUGHPUT=1): batch throughput
-    # over all four demo clouds with two shapes in flight (run_dataset
-    # concurrency mode) — one shape's host stages overlap the other's
-    # device dispatches.  Off by default: the three extra shapes are new
-    # point-count buckets, and on axon (no persistent compile cache)
-    # their cold compiles would triple the bench wall time.
+    # opt-in (PD_BENCH_THROUGHPUT=1): nearest-path throughput too
     if os.environ.get("PD_BENCH_THROUGHPUT") == "1":
         from pointdreamer_tpu.pipeline.batch import run_dataset
 
@@ -87,14 +104,12 @@ def main():
         plys = sorted(os.path.join(demo_dir, p)
                       for p in os.listdir(demo_dir) if p.endswith(".ply"))
         shutil.rmtree(out_dir, ignore_errors=True)
-        run_dataset(cfg, plys, concurrency=2)   # warm new shape buckets
+        run_dataset(cfg, plys, concurrency=2)   # warm
         shutil.rmtree(out_dir, ignore_errors=True)
         t1 = time.time()
         res = run_dataset(cfg, plys, concurrency=2)
-        tput = (time.time() - t1) / max(len(plys), 1)
-        detail["throughput_sec_per_shape"] = round(tput, 3)
-        detail["throughput_shapes_ok"] = sum(
-            r["status"] == "ok" for r in res.values())
+        detail["throughput_sec_per_shape_nearest"] = round(
+            (time.time() - t1) / max(len(plys), 1), 3)
 
     baseline_a100 = 60.0  # reference full-diffusion e2e sec/shape on A100
     print(json.dumps({
