@@ -76,6 +76,7 @@ def test_generate_cli(tmp_path, monkeypatch, demo_ply, capsys):
     assert len(m["faces"]) > 100
 
 
+@pytest.mark.slow
 def test_train_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp

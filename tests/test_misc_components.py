@@ -1,6 +1,8 @@
 """Tests: GLB export, debug vis, pc sampling, batch driver, alt models."""
 import os
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -94,6 +96,7 @@ def test_alt_backbone_and_decoders(rng):
         assert np.isfinite(np.asarray(out)).all(), name
 
 
+@pytest.mark.slow
 def test_batch_driver(tmp_path, demo_ply):
     from pointdreamer_tpu.core.config import PipelineConfig
     from pointdreamer_tpu.pipeline.batch import run_dataset

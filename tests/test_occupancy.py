@@ -1,5 +1,6 @@
 """Tests for the POCO-equivalent occupancy model."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -143,6 +144,7 @@ def test_confusion_metrics():
     assert abs(m["OA"] - 0.5) < 1e-6
 
 
+@pytest.mark.slow
 def test_fps_vs_quantized_sampling_occupancy_equivalence(rng):
     """SURVEY §7 hard-part 6: replacing the reference's quantized-voxel
     sampler with FPS must not change the occupancy field materially.  Same
@@ -175,6 +177,7 @@ def test_fps_vs_quantized_sampling_occupancy_equivalence(rng):
     assert sign_agree > 0.93, sign_agree
 
 
+@pytest.mark.slow
 def test_chunked_latents_cover_and_agree(rng):
     """Big-cloud chunked-neighborhood latent path (generate_1.py:119-156),
     exercised at miniature scale: every point covered >= cover times, and

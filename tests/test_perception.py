@@ -316,6 +316,7 @@ def test_inception_feature_parity():
     np.testing.assert_allclose(ff, ft, rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_fid_pipeline_with_random_inception(tmp_path):
     """End-to-end: save a random torch-layout checkpoint, load through the
     public helper, embed images, compute a Frechet distance."""

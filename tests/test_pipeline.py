@@ -179,6 +179,7 @@ def test_vertex_refinement_improves_chamfer():
     assert np.abs(refined - verts).max() < (axis[1] - axis[0])
 
 
+@pytest.mark.slow
 def test_geometry_sphere_cloud():
     rng = np.random.default_rng(0)
     d = rng.standard_normal((4000, 3))

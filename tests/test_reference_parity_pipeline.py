@@ -64,6 +64,7 @@ def test_nbf_shrink_matches_reference(oracle, kernels):
 # 2. dilate_atlas (nearest fill)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_dilate_atlas_matches_reference(oracle):
     from pointdreamer_tpu.pipeline.complete import dilate_atlas
 

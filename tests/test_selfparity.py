@@ -23,6 +23,7 @@ QUICK = dict(grid_res=64, cam_res=192, res=128, xatlas_texture_res=256,
              target_face_num=4000, edge_dilate_kernels=[11], view_num=8)
 
 
+@pytest.mark.slow
 def test_selfparity_cube_quick(tmp_path):
     # tets-pinned: at reduced atlas res the fixed-texel seam width
     # magnifies chart-boundary error on sharp-edged shapes; tets' denser
@@ -36,6 +37,7 @@ def test_selfparity_cube_quick(tmp_path):
     assert res["mean_abs_err"] <= 0.02, res
 
 
+@pytest.mark.slow
 def test_selfparity_cube_quick_mc(tmp_path):
     # the default (marching cubes) path: measured 25.5 dB at these
     # reduced settings, 31.08 dB at full settings on TPU
@@ -54,6 +56,7 @@ def test_selfparity_cube_full(tmp_path):
     assert res["psnr_db"] >= 30.0, res
 
 
+@pytest.mark.slow
 def test_selfparity_sphere_quick(tmp_path):
     """Curved-surface variant: LSCM charts are genuinely non-developable
     here (unlike the cube's flat boxes).  Measured 41.8 dB."""
