@@ -354,8 +354,12 @@ def _pack_bitmap(chart_uvs: List[np.ndarray],
     areas = ext[:, 0] * ext[:, 1]
     order = np.argsort(-areas)
     S = 1
-    while S < 2 * G:
-        S *= 2                                   # FFT size (power of two)
+    while S < G:
+        S *= 2            # FFT size: power of two >= G.  G (not 2G)
+    # suffices: the correlation is only read on the valid region
+    # [0..G-mh] x [0..G-mw], where y+dy <= G-1 < S — the circular
+    # wraparound never reaches it, so the smaller transform is exact
+    # (4x fewer FFT points than the former 2G padding).
     # footprint (incl. gutter) at or below this edge length places by its
     # bounding rect on an integral image instead of bitmap+FFT — the
     # sliver-chart swarm regime (topological-noise meshes produce
