@@ -137,8 +137,8 @@ class ResBlock(nn.Module):
             h = _nearest_up2(h)
             x = _nearest_up2(x)
         elif self.down:
-            h = nn.avg_pool(h, (2, 2), (2, 2))
-            x = nn.avg_pool(x, (2, 2), (2, 2))
+            h = _avg_down2(h)
+            x = _avg_down2(x)
         h = _conv(self.quant, self.out_channels, (3, 3), "in_conv",
                   dtype=self.dtype)(h)
 
@@ -164,8 +164,21 @@ class ResBlock(nn.Module):
 
 
 def _nearest_up2(x):
+    # broadcast+reshape, not jax.image.resize: resize lowers to a gather
+    # that runs at ~29% of HBM roofline on v5e; the broadcast form is a
+    # pure layout op XLA fuses with the consumer (measured in-scan on the
+    # UNet's sizes — see README perf notes).  Bit-identical for integer 2x.
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return y.reshape(b, 2 * h, 2 * w, c)
+
+
+def _avg_down2(x):
+    # reshape+mean twin of nn.avg_pool((2,2),(2,2)) — same values, but a
+    # reshape/reduce XLA tiles better than reduce_window on TPU
+    b, h, w, c = x.shape
+    xf = x.reshape(b, h // 2, 2, w // 2, 2, c).astype(jnp.float32)
+    return xf.mean(axis=(2, 4)).astype(x.dtype)
 
 
 class AttentionBlock(nn.Module):

@@ -82,7 +82,7 @@ def save_textured_mesh(vertices, uvs, faces, face_uv_idx, atlas_img, mask,
     pio.save_rgb(atlas, os.path.join(models_dir, f"{name}.png"),
                  flip_vertical=True)
 
-    m = np.asarray(mask)
+    m = pio.fetch_bool(mask)   # packed-bit transfer (1 MB -> 128 KB)
     rgba = np.concatenate(
         [atlas, np.where(m, 255, 0).astype(np.uint8)[..., None]], axis=-1)
     pio.save_rgb(rgba, os.path.join(others_dir, "atlas_wo_background.png"),
