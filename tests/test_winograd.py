@@ -43,8 +43,8 @@ def test_weight_transform_shape_and_identity():
     w = jnp.zeros((3, 3, 4, 8)).at[1, 1, :, :].set(1.0)  # identity 3x3
     u = transform_weights(w)
     assert u.shape == (16, 4, 8)
-    # G g G^T of the center-tap kernel: known closed form (outer product
-    # of [0, .5, .5, 0] with itself per channel pair)
+    # G g G^T of the center-tap kernel: closed form outer(Gc, Gc) with
+    # Gc = G[:, 1] = [0, .5, -.5, 0]
     import numpy as np
-    expect = np.outer([0, 0.5, 0.5, 0], [0, 0.5, 0.5, 0]).reshape(16)
+    expect = np.outer([0, 0.5, -0.5, 0], [0, 0.5, -0.5, 0]).reshape(16)
     np.testing.assert_allclose(np.asarray(u[:, 0, 0]), expect, atol=1e-2)
