@@ -96,12 +96,22 @@ def _load_graft():
     return mod
 
 
-@pytest.mark.slow
-def test_dryrun_multichip_8():
-    # the inference leg runs the full 256-channel flagship architecture on
-    # CPU (~4 min on the 1-core hosts); the driver also runs this directly
+def test_dryrun_multichip_8_within_budget():
+    """The driver runs dryrun_multichip(8) with a hard timeout; round 3
+    regressed it to rc=124 by putting the full 552M flagship in the
+    inference leg.  Run it here (in-process: this suite already has the
+    8-device CPU mesh) and assert a wall-clock budget so the fast suite
+    catches that class of regression before the driver does."""
+    import time
+
     mod = _load_graft()
+    t0 = time.monotonic()
     mod.dryrun_multichip(8)  # asserts internally
+    dt = time.monotonic() - t0
+    assert dt < 240, (
+        f"dryrun_multichip(8) took {dt:.0f}s in-process; the driver-side "
+        "subprocess run adds startup on top and will hit its timeout — "
+        "shrink the dryrun models (keep topology, cut channels/steps)")
 
 
 def test_dryrun_train_leg_fast():
