@@ -7,7 +7,7 @@ equivalent is the FFT Poisson indicator (ops.sdf.poisson_indicator_grid)
 
 baselines/NKSR.py (Neural Kernel Surface Reconstruction) is covered by
 baselines/nksr.py: the same kernel-field model class with an analytic
-gaussian kernel standing in for the pretrained neural one (which needs
+biharmonic (phi(r)=r) RBF kernel standing in for the pretrained neural one (which needs
 the external nksr package + weights, run in a separate conda env in the
 reference).
 """
@@ -34,8 +34,8 @@ def recon_one_shape_SPR(xyz: np.ndarray, rgb01: Optional[np.ndarray] = None,
 
 def recon_one_shape_NKSR(*args, **kwargs):
     """Kernel-field reconstruction (see baselines/nksr.py): the NKSR
-    model class with an analytic gaussian kernel in place of the
-    pretrained neural one (which needs the external nksr package)."""
+    model class with an analytic biharmonic (phi(r)=r) RBF kernel in
+    place of the pretrained neural one (which needs the external nksr package)."""
     from .nksr import recon_one_shape_NKSR as _impl
 
     return _impl(*args, **kwargs)

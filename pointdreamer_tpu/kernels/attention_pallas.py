@@ -50,7 +50,11 @@ def attention_pallas_ok(T: int, heads: int, hd: int) -> bool:
         return False
     if T % 8 or hd % 8:
         return False
-    working = 4 * T * T + 2 * 4 * T * heads * hd
+    # per-head live set: logits + exp + normalized weights (3 fp32 [T,T])
+    # plus the qkv block at fp32 upper bound (12*T*C) and the out block
+    # (4*T*C) — budgeting the worst case keeps real headroom at the cap
+    C = heads * hd
+    working = 3 * 4 * T * T + (12 + 4) * T * C
     return working <= _VMEM_CAP
 
 

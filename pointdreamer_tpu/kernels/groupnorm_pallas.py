@@ -122,6 +122,11 @@ def fused_groupnorm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     """
     B, S, C = x.shape
     chunk = _chunk_for(S, C)
+    if S % chunk:
+        # the grid only visits S // chunk row blocks — a ragged tail would
+        # be silently left uninitialized (callers gate via groupnorm_pallas_ok)
+        raise ValueError(f"fused_groupnorm: S={S} not divisible by "
+                         f"chunk={chunk}")
     n_chunks = S // chunk
     if ss is None:
         has_ss = False

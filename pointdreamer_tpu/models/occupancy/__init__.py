@@ -36,7 +36,13 @@ def load_poco_field(checkpoint_path: str, logger=None,
         if not (isinstance(blob, dict) and "params" in blob):
             raise ValueError("not a native checkpoint")
         params = blob["params"]
-    except Exception:
+    except (pickle.UnpicklingError, ValueError, EOFError) as e:
+        # narrow fallback: only not-a-native-pickle errors route to the
+        # torch converter; a corrupt native checkpoint must not surface
+        # as an unrelated torch-conversion failure
+        if logger:
+            logger.info(f"not a native checkpoint ({e!r}); trying the "
+                        "torch converter")
         params = load_torch_checkpoint(checkpoint_path)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
