@@ -68,8 +68,13 @@ def ddnm_inpaint_batch(
     t_sampling: int = 100,
     eta: float = 0.85,
     num_timesteps: int = 1000,
+    noise: Optional[jnp.ndarray] = None,  # [1+t_sampling,B,H,W,3]: x_T, z_i
 ) -> jnp.ndarray:
-    """Returns inpainted images [B,H,W,3] in [0,1]."""
+    """Returns inpainted images [B,H,W,3] in [0,1].
+
+    `noise`, when given, replaces every RNG draw (the x_T init followed by
+    one z per step, in draw order) — used by the golden parity test to
+    feed the reference torch sampler's exact noise stream."""
     if masks.ndim == 3:
         masks = masks[..., None]
     B, H, W, _ = masked_imgs.shape
@@ -87,13 +92,7 @@ def ddnm_inpaint_batch(
     at_next_arr = jnp.asarray(compute_alpha(betas, j_steps), jnp.float32)
     t_arr = jnp.asarray(i_steps, jnp.float32)
 
-    key, sub = jax.random.split(rng_key)
-    x = jax.random.normal(sub, (B, H, W, 3), jnp.float32)
-
-    def step(carry, inp):
-        x, key = carry
-        t, at, at_next = inp
-        key, sub = jax.random.split(key)
+    def step_math(x, t, at, at_next, z):
         et = model.apply({"params": params}, x,
                          jnp.full((B,), t))[..., :3].astype(jnp.float32)
         x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
@@ -102,11 +101,28 @@ def ddnm_inpaint_batch(
         x0_hat = x0_t - (x0_t * masks - y)      # Eq. 17 with A=Ap=mask
         c1 = jnp.sqrt(1.0 - at_next) * eta
         c2 = jnp.sqrt(1.0 - at_next) * jnp.sqrt(1.0 - eta ** 2)
-        z = jax.random.normal(sub, x.shape, jnp.float32)
-        x_next = jnp.sqrt(at_next) * x0_hat + sigma_t * (c1 * z + c2 * et)
-        return (x_next, key), None
+        return jnp.sqrt(at_next) * x0_hat + sigma_t * (c1 * z + c2 * et)
 
-    (x, _), _ = jax.lax.scan(step, (x, key), (t_arr, at_arr, at_next_arr))
+    if noise is None:
+        key, sub = jax.random.split(rng_key)
+        x = jax.random.normal(sub, (B, H, W, 3), jnp.float32)
+
+        def step(carry, inp):
+            x, key = carry
+            t, at, at_next = inp
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, x.shape, jnp.float32)
+            return (step_math(x, t, at, at_next, z), key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key),
+                                 (t_arr, at_arr, at_next_arr))
+    else:
+        def step_inj(x, inp):
+            t, at, at_next, z = inp
+            return step_math(x, t, at, at_next, z), None
+
+        x, _ = jax.lax.scan(step_inj, noise[0],
+                            (t_arr, at_arr, at_next_arr, noise[1:]))
     return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
 
 

@@ -64,6 +64,37 @@ def shrink_view_visibility(
     return jnp.stack(outs, axis=0)
 
 
+def select_views(
+    shrunk: jnp.ndarray,        # [K, V, T] bool, per-kernel shrunk vis
+    vis: jnp.ndarray,           # [V, T] bool, unshrunk visibility
+    sim: jnp.ndarray,           # [T, V] normal . view_dir similarity
+    atlas_mask_flat: jnp.ndarray,  # [T] bool
+    complete_by_projection: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NBF multi-level candidate fallback + softmax view choice
+    (reference unproject.py:324-367; golden-tested against the extracted
+    reference statements in tests/test_reference_parity_pipeline.py).
+
+    Returns (view_id [T] int32 with -100 = unseen, candidate [V,T])."""
+    candidate = shrunk[0]                             # [V,T]
+    # multi-level NBF fallback (unproject.py:332-346)
+    for i in range(1, shrunk.shape[0]):
+        has_view = candidate.any(axis=0)
+        candidate = candidate | (shrunk[i] & ~has_view[None])
+    if complete_by_projection:
+        has_view = candidate.any(axis=0)
+        candidate = candidate | (vis & ~has_view[None])
+
+    # view priority: softmax over views of normal . base_dir, -100 for
+    # non-candidates (unproject.py:360-367)
+    weight = jax.nn.softmax(sim, axis=1)
+    weight = jnp.where(candidate.T, weight, -100.0)
+    view_id = jnp.argmax(weight, axis=1).astype(jnp.int32)  # [T]
+    seen = candidate.any(axis=0)
+    view_id = jnp.where(seen & atlas_mask_flat, view_id, -100)
+    return view_id, candidate
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_sizes", "view_res",
                                              "complete_by_projection"))
 def unproject(
@@ -100,24 +131,11 @@ def unproject(
     vis_img = vis.reshape(V, R, R)
 
     shrunk = shrink_view_visibility(atlas_mask, vis_img, kernel_sizes)
-    # multi-level NBF fallback (unproject.py:332-346)
-    candidate = shrunk[0].reshape(V, -1)              # [V,T]
-    for i in range(1, len(kernel_sizes)):
-        has_view = candidate.any(axis=0)
-        candidate = candidate | (shrunk[i].reshape(V, -1) & ~has_view[None])
-    if complete_by_projection:
-        has_view = candidate.any(axis=0)
-        candidate = candidate | (vis & ~has_view[None])
-
-    # view priority: softmax over views of normal . base_dir, -100 for
-    # non-candidates (unproject.py:355-366)
     tex_norm = face_normals[jnp.maximum(atlas_face_id.reshape(-1), 0)]
     sim = tex_norm @ rig.base_dirs.T                  # [T,V]
-    weight = jax.nn.softmax(sim, axis=1)
-    weight = jnp.where(candidate.T, weight, -100.0)
-    view_id = jnp.argmax(weight, axis=1).astype(jnp.int32)  # [T]
-    seen = candidate.any(axis=0)
-    view_id = jnp.where(seen & atlas_mask.reshape(-1), view_id, -100)
+    view_id, candidate = select_views(
+        shrunk.reshape(len(kernel_sizes), V, -1), vis, sim,
+        atlas_mask.reshape(-1), complete_by_projection)
 
     # gather colors: texel -> chosen view's pixel (one batched gather
     # replacing the reference per-view scatter loop, unproject.py:378-400)

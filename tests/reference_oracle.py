@@ -31,15 +31,110 @@ REF = "/root/reference"
 
 
 def _extract(relpath: str, names):
+    """Compile the named functions from a reference source file.
+
+    Looks for FunctionDefs at module level AND inside classes (methods are
+    lifted to plain functions — callers pass an explicit `self`)."""
     with open(os.path.join(REF, relpath)) as f:
         tree = ast.parse(f.read())
-    body = [n for n in tree.body
-            if isinstance(n, ast.FunctionDef) and n.name in set(names)]
+    wanted = set(names)
+    body = []
+    for n in tree.body:
+        if isinstance(n, ast.FunctionDef) and n.name in wanted:
+            body.append(n)
+        elif isinstance(n, ast.ClassDef):
+            body.extend(m for m in n.body
+                        if isinstance(m, ast.FunctionDef) and m.name in wanted)
     got = {n.name for n in body}
-    assert got == set(names), f"missing {set(names) - got} in {relpath}"
+    assert got == wanted, f"missing {wanted - got} in {relpath}"
     mod = ast.Module(body=body, type_ignores=[])
     ast.fix_missing_locations(mod)
     return compile(mod, os.path.join(REF, relpath), "exec")
+
+
+def _extract_stmt_range(relpath, funcname, lo, hi, argnames, retnames,
+                        newname):
+    """Lift a verbatim statement range out of a reference function whose
+    surrounding code needs unavailable libraries (nvdiffrast, kiui, ...):
+    wrap the statements in a new function taking `argnames` and returning
+    `retnames`.  No reference line is rewritten — only re-scoped."""
+    with open(os.path.join(REF, relpath)) as f:
+        tree = ast.parse(f.read())
+    fn = next((n for n in ast.walk(tree)
+               if isinstance(n, ast.FunctionDef) and n.name == funcname),
+              None)
+    assert fn is not None, f"{funcname} not found in {relpath}"
+    def collect(body):
+        """Statements fully inside [lo, hi]; descend into compound
+        statements (with/if/for) that only partially overlap."""
+        out = []
+        for s in body:
+            end = s.end_lineno or s.lineno
+            if s.lineno >= lo and end <= hi:
+                out.append(s)
+            elif s.lineno <= hi and end >= lo:
+                for field in ("body", "orelse", "finalbody"):
+                    out.extend(collect(getattr(s, field, []) or []))
+        return out
+
+    stmts = collect(fn.body)
+    assert stmts, f"no statements in {relpath}:{funcname} lines {lo}-{hi}"
+    ret = ast.Return(value=ast.Tuple(
+        elts=[ast.Name(id=r, ctx=ast.Load()) for r in retnames],
+        ctx=ast.Load()))
+    newfn = ast.FunctionDef(
+        name=newname,
+        args=ast.arguments(posonlyargs=[],
+                           args=[ast.arg(arg=a) for a in argnames],
+                           kwonlyargs=[], kw_defaults=[], defaults=[]),
+        body=stmts + [ret], decorator_list=[])
+    mod = ast.Module(body=[newfn], type_ignores=[])
+    ast.fix_missing_locations(mod)
+    return compile(mod, os.path.join(REF, relpath), "exec")
+
+
+def load_view_select_oracle():
+    """NBF candidate fallback + softmax view selection, verbatim from
+    pointdreamer/unproject.py:324-367 (inside unproject(); the rest of
+    that function needs nvdiffrast/kiui).  Call as
+      ns['select'](per_kernel_vis, per_pixel_mask, edge_dilate_kernels,
+                   per_view_per_point_visibility, similarity,
+                   complete_unseen_by_projection)
+    -> (point_view_ids, candidate_per_point_per_view_mask)."""
+    import sys
+    import types
+
+    if "kiui" not in sys.modules:  # the range contains `import kiui`
+        stub = types.ModuleType("kiui")
+        stub.lo = lambda *a, **k: None
+        sys.modules["kiui"] = stub
+    ns = {"torch": torch, "np": np, "print": lambda *a, **k: None}
+    exec(_extract_stmt_range(
+        "pointdreamer/unproject.py", "unproject", 324, 367,
+        ["per_kernel_per_view_shrinked_per_pixel_visibility",
+         "per_pixel_mask", "edge_dilate_kernels",
+         "per_view_per_point_visibility",
+         "similarity_between_point_normal_and_view_dir",
+         "complete_unseen_by_projection", "per_point_face_normal"],
+        ["point_view_ids", "candidate_per_point_per_view_mask"],
+        "select"), ns)
+    return ns
+
+
+def load_crop_rescale_oracle():
+    """The shrink-to-fit crop bookkeeping, verbatim from
+    pointdreamer/ours_utils.py:110-141 (inside
+    get_rendered_hard_mask_and_face_idx_batch; the rest needs nvdiffrast).
+      ns['crop'](pos, transformed_points, rescale, padding)
+    -> (vertice_uvs, point_uvs, uv_centers, uv_scales, point_depths, pos)."""
+    ns = {"torch": torch, "np": np}
+    exec(_extract_stmt_range(
+        "pointdreamer/ours_utils.py",
+        "get_rendered_hard_mask_and_face_idx_batch", 110, 141,
+        ["pos", "transformed_points", "rescale", "padding"],
+        ["vertice_uvs", "point_uvs", "uv_centers", "uv_scales",
+         "point_depths", "pos"], "crop"), ns)
+    return ns
 
 
 class _SidedDistance:
@@ -114,4 +209,47 @@ def load_oracles():
     exec(_extract("pointdreamer/unproject.py",
                   ["get_shrinked_per_view_per_pixel_visibility_torch",
                    "dilate_atlas"]), ns)
+    return ns
+
+
+class _TorchProxy:
+    """`torch` stand-in whose randn/randn_like pop from a pre-generated
+    noise sequence — lets the oracle and the jax sampler consume the SAME
+    noise stream.  Everything else delegates to the real torch module."""
+
+    def __init__(self, noise_seq):
+        self._noise = list(noise_seq)
+
+    def randn(self, *shape, **kw):
+        z = torch.from_numpy(self._noise.pop(0)).float()
+        assert tuple(z.shape) == tuple(shape), (z.shape, shape)
+        return z
+
+    def randn_like(self, x):
+        z = torch.from_numpy(self._noise.pop(0)).float()
+        assert z.shape == x.shape, (z.shape, x.shape)
+        return z
+
+    def __getattr__(self, name):
+        return getattr(torch, name)
+
+
+def load_ddnm_oracle(noise_seq):
+    """Extract the reference DDNM sampler + its helpers verbatim
+    (models/DDNM/guided_diffusion/diffusion.py:459-570,770-812 and
+    datasets/__init__.py:208-236).  `simplified_ddnm_inpainting` is a
+    method — call it as ns['simplified_ddnm_inpainting'](fake_self, ...).
+    randn/randn_like inside consume `noise_seq` (numpy arrays, in draw
+    order) via a torch proxy so the trajectory is deterministic."""
+    ns = {
+        "torch": _TorchProxy(noise_seq), "np": np, "os": os, "math": math,
+        # the sampler's imported-from-elsewhere names, extracted too:
+    }
+    exec(_extract("models/DDNM/guided_diffusion/diffusion.py",
+                  ["simplified_ddnm_inpainting", "get_schedule_jump",
+                   "_check_times", "compute_alpha", "get_beta_schedule"]),
+         ns)
+    exec(_extract("models/DDNM/datasets/__init__.py",
+                  ["data_transform", "inverse_data_transform",
+                   "logit_transform"]), ns)
     return ns

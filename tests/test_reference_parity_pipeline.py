@@ -11,6 +11,7 @@ pipeline math the per-module network parity tests don't:
 """
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 import torch
 
@@ -222,3 +223,205 @@ def test_sparse_image_shrink_to_fit_matches_reference(oracle):
     got = np.asarray(mine.sparse_imgs[0])
     same = np.all(np.abs(got - r_sparse) < 1e-6, axis=-1)
     assert same.mean() > 0.97, f"pixel agreement {same.mean():.2%}"
+
+
+# ---------------------------------------------------------------------------
+# 4. DDNM sampler trajectory vs the reference's own simplified_ddnm_inpainting
+# ---------------------------------------------------------------------------
+
+class _EpsStub:
+    """Deterministic eps model shared by both samplers (layout-agnostic
+    elementwise math, so NCHW torch and NHWC jax agree exactly)."""
+
+    @staticmethod
+    def f_np(x, t):
+        return np.tanh(x) * 0.1 + 0.01 * np.sin(t / 7.0)
+
+    # torch side: model(xt, t) with xt [1,3,R,R], t [1]
+    def __call__(self, xt, t):
+        return torch.tanh(xt) * 0.1 + 0.01 * torch.sin(t[0] / 7.0)
+
+    # flax-like side: model.apply({'params': p}, x, t) with x [B,R,R,3]
+    def apply(self, variables, x, t):
+        return jnp.tanh(x) * 0.1 + 0.01 * jnp.sin(t[0] / 7.0)
+
+
+class _CudaToCpu:
+    """Route the reference's hard-coded .to('cuda') calls to CPU."""
+
+    def __enter__(self):
+        self._orig = torch.Tensor.to
+
+        def to(tensor, *args, **kw):
+            args = tuple("cpu" if a == "cuda" else a for a in args)
+            if kw.get("device") == "cuda":
+                kw["device"] = "cpu"
+            return self._orig(tensor, *args, **kw)
+
+        torch.Tensor.to = to
+        return self
+
+    def __exit__(self, *exc):
+        torch.Tensor.to = self._orig
+
+
+def test_ddnm_sampler_matches_reference_oracle():
+    """Run the AST-extracted simplified_ddnm_inpainting (+get_schedule_jump
+    +compute_alpha, diffusion.py:459-570,770-812) with a deterministic eps
+    stub and a captured noise stream, and assert the scanned jax sampler
+    reproduces the trajectory."""
+    from types import SimpleNamespace as NS
+
+    from reference_oracle import load_ddnm_oracle
+    from pointdreamer_tpu.models.diffusion.ddnm import (
+        ddnm_inpaint_batch, make_betas)
+
+    R, steps, T = 16, 5, 1000
+    rng = np.random.default_rng(42)
+    img = rng.random((R, R, 3)).astype(np.float32)        # HWC in [0,1]
+    mask = (rng.random((R, R)) < 0.6).astype(np.float32)  # 1 = known
+
+    # the reference draws: x_T init, then one randn_like per normal step.
+    # Its caller (models/DDNM/ddnm_inpainting.py:39-41) feeds
+    # masked_imgs [1,1,3,H,W] and masks [1,H,W], so the loop's x_orig is
+    # [1,3,H,W] and every draw is [1,3,R,R].
+    noise_nchw = [rng.standard_normal((1, 3, R, R)).astype(np.float32)
+                  for _ in range(1 + steps)]
+
+    ns = load_ddnm_oracle(noise_nchw)
+    betas = torch.from_numpy(make_betas(T)).float()
+    fake_self = NS(
+        betas=betas, device="cpu",
+        args=NS(seed=1234, sigma_y=0.0, eta=0.85),
+        config=NS(
+            sampling=NS(batch_size=1),
+            data=NS(channels=3, image_size=R, rescaled=True,
+                    uniform_dequantization=False,
+                    gaussian_dequantization=False, logit_transform=False),
+            diffusion=NS(num_diffusion_timesteps=T),
+            time_travel=NS(T_sampling=steps, travel_length=1,
+                           travel_repeat=1)))
+
+    # reference consumes [1,1,3,H,W] images in [0,1] and a [1,H,W] mask
+    # (ddnm_inpainting.py:37-41)
+    masked_nchw = torch.from_numpy(
+        (img * mask[..., None]).transpose(2, 0, 1)[None, None])
+    mask_ref = torch.from_numpy(mask)[None]               # [1,R,R]
+    with _CudaToCpu():
+        ref = ns["simplified_ddnm_inpainting"](
+            fake_self, _EpsStub(), masked_nchw, mask_ref)
+    ref = ref.numpy()[0, 0].transpose(1, 2, 0)            # -> HWC
+
+    noise_nhwc = jnp.asarray(np.stack(
+        [z.transpose(0, 2, 3, 1) for z in noise_nchw]))   # [1+s,1,R,R,3]
+    mine = np.asarray(ddnm_inpaint_batch(
+        _EpsStub(), {}, jnp.asarray(img * mask[..., None])[None],
+        jnp.asarray(mask)[None], jax.random.PRNGKey(0),
+        t_sampling=steps, num_timesteps=T, noise=noise_nhwc))[0]
+
+    err = float(np.max(np.abs(mine - ref)))
+    assert err < 1e-3, f"jax DDNM trajectory diverges from oracle: {err}"
+
+
+# ---------------------------------------------------------------------------
+# 5. NBF view selection (candidate fallback + softmax -100 masking)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("complete", [False, True])
+def test_view_selection_matches_reference(complete):
+    """select_views vs the verbatim reference statements
+    (unproject.py:324-367)."""
+    from reference_oracle import load_view_select_oracle
+    from pointdreamer_tpu.pipeline.unproject import select_views
+
+    ns = load_view_select_oracle()
+    rng = np.random.default_rng(11)
+    res, V, K = 24, 5, 2
+    mask = _blob_mask(rng, res, n_blobs=2, r=(5, 9))
+    P = int(mask.sum())
+    shrunk = rng.random((K, V, res, res)) < 0.25
+    vis_pts = rng.random((V, P)) < 0.5
+    if complete:
+        # guarantee every point visible somewhere so the reference never
+        # argmaxes an all-(-100) row (its tie index is arbitrary there;
+        # our implementation reports -100 for never-seen instead)
+        vis_pts[rng.integers(0, V, P), np.arange(P)] = True
+    sim_pts = rng.standard_normal((P, V)).astype(np.float32)
+    normals = rng.standard_normal((P, 3)).astype(np.float32)
+
+    ref_ids, ref_cand = ns["select"](
+        torch.from_numpy(shrunk), torch.from_numpy(mask),
+        [3] * K,  # edge_dilate_kernels: only len() is used in the range
+        torch.from_numpy(vis_pts), torch.from_numpy(sim_pts.copy()),
+        complete, torch.from_numpy(normals))
+    ref_ids, ref_cand = ref_ids.numpy(), ref_cand.numpy()
+
+    # map per-point reference inputs onto the full texel grid
+    T = res * res
+    mask_flat = mask.reshape(-1)
+    vis_full = np.zeros((V, T), bool)
+    vis_full[:, mask_flat] = vis_pts
+    sim_full = np.zeros((T, V), np.float32)
+    sim_full[mask_flat] = sim_pts
+    view_id, cand = select_views(
+        jnp.asarray(shrunk.reshape(K, V, T)), jnp.asarray(vis_full),
+        jnp.asarray(sim_full), jnp.asarray(mask_flat), complete)
+    got_ids = np.asarray(view_id)[mask_flat]
+    got_cand = np.asarray(cand)[:, mask_flat]
+
+    np.testing.assert_array_equal(got_cand.T, ref_cand)
+    if complete:
+        seen = ref_cand.sum(1) >= 1
+        np.testing.assert_array_equal(got_ids[seen], ref_ids[seen])
+        assert np.all(got_ids[~seen] == -100)
+    else:
+        np.testing.assert_array_equal(got_ids, ref_ids)
+
+
+# ---------------------------------------------------------------------------
+# 6. shrink-to-fit crop bookkeeping (uv_centers / uv_scales / padding)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rescale", [True, False])
+def test_crop_rescale_matches_reference(rescale):
+    """project_views' crop math vs the verbatim reference statements
+    (ours_utils.py:110-141), fed the SAME camera-space NDC both ways."""
+    from reference_oracle import load_crop_rescale_oracle
+    from pointdreamer_tpu.core.camera import make_camera_rig
+    from pointdreamer_tpu.pipeline.project import project_views
+
+    ns = load_crop_rescale_oracle()
+    rng = np.random.default_rng(13)
+    # a tiny closed mesh (tetrahedron) + free points
+    verts = np.array([[0.2, 0.2, 0.2], [-0.2, -0.2, 0.2],
+                      [-0.2, 0.2, -0.2], [0.2, -0.2, -0.2]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
+    pts = (rng.random((50, 3)).astype(np.float32) - 0.5) * 0.4
+    rig = make_camera_rig(num_views=4, res=64)
+
+    padding = 0.05
+    proj = project_views(rig, jnp.asarray(verts), jnp.asarray(faces),
+                         jnp.asarray(pts), crop=rescale, padding=padding)
+
+    # feed the oracle the same NDC the pipeline computed from the rig
+    ndc, depth = rig.transform(jnp.asarray(np.vstack([verts, pts])))
+    ndc, depth = np.asarray(ndc), np.asarray(depth)
+    nV = len(verts)
+    pos = torch.from_numpy(
+        np.concatenate([ndc[:, :nV], np.ones_like(depth[:, :nV, None]),
+                        ], axis=2))                    # [V,nV,3] fake-W pad
+    tp = torch.from_numpy(
+        np.concatenate([ndc[:, nV:], depth[:, nV:, None]], axis=2))
+    _, r_point_uvs, r_centers, r_scales, r_depths, _ = ns["crop"](
+        pos, tp, rescale, padding)
+
+    np.testing.assert_allclose(np.asarray(proj.point_uvs),
+                               r_point_uvs.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(proj.point_depths),
+                               r_depths.numpy(), atol=1e-6)
+    if rescale:
+        np.testing.assert_allclose(np.asarray(proj.uv_centers),
+                                   r_centers.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(proj.uv_scales),
+                                   r_scales.numpy(), atol=1e-6)
+    assert proj.padding == (padding if rescale else 0.0)
