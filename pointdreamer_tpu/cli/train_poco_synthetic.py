@@ -102,7 +102,11 @@ def main(argv=None):
                                    args.noise),
             epochs=args.epochs, steps_per_epoch=args.steps, lr=args.lr,
             checkpoint_path=args.ckpt, logger=log, val_batch=val)
-        log.info(f"training history: {json.dumps(history[-1])}")
+        if history:
+            log.info(f"training history: {json.dumps(history[-1])}")
+        else:  # existing --ckpt already trained to --epochs: eval-only
+            log.info(f"checkpoint {args.ckpt} already at --epochs; "
+                     "skipping training")
 
     # held-out shapes (different seed stream than training)
     rng = np.random.default_rng(999)
