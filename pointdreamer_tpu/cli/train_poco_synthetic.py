@@ -101,7 +101,8 @@ def main(argv=None):
             params, batch_iterator(0, args.batch, args.points, args.queries,
                                    args.noise),
             epochs=args.epochs, steps_per_epoch=args.steps, lr=args.lr,
-            checkpoint_path=args.ckpt, logger=log, val_batch=val)
+            checkpoint_path=args.ckpt, logger=log, val_batch=val,
+            checkpoint_every=10, lr_decay=True)
         if history:
             log.info(f"training history: {json.dumps(history[-1])}")
         else:  # existing --ckpt already trained to --epochs: eval-only
@@ -112,8 +113,11 @@ def main(argv=None):
     rng = np.random.default_rng(999)
     shapes = [random_shape(rng) for _ in range(args.eval_shapes)]
 
-    # the pipeline's own loader path (exercises load_poco_field + pickle)
-    poco_factory = load_poco_field(args.ckpt, log)
+    # the pipeline's own loader path (exercises load_poco_field + pickle);
+    # eval clouds already carry --noise sensor noise, so the reference's
+    # add-noise-if-clean step must not fire (generate_1.py:71-72)
+    _factory = load_poco_field(args.ckpt, log)
+    poco_factory = lambda pts: _factory(pts, noise_std=0.0)
 
     rows = {}
     for name, factory in [("POCO(self-trained)", poco_factory),

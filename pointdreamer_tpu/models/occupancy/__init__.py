@@ -46,7 +46,10 @@ def load_poco_field(checkpoint_path: str, logger=None,
         params = load_torch_checkpoint(checkpoint_path)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    def factory(points):
-        return make_poco_field(params, points, decoder=decoder)
+    def factory(points, **field_kwargs):
+        # field_kwargs forward to make_poco_field (e.g. noise_std=0.0 for
+        # inputs that already carry sensor noise, generate_1.py:71-72)
+        return make_poco_field(params, points, decoder=decoder,
+                               **field_kwargs)
 
     return factory

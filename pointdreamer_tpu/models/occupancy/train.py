@@ -63,6 +63,28 @@ def train_step(params, opt_state, pos, queries, occ, opt):
     return params, opt_state, loss, acc
 
 
+@functools.partial(jax.jit, static_argnames=("opt",))
+def train_epoch(params, opt_state, pos, queries, occ, opt):
+    """A whole epoch as ONE device program: `lax.scan` over the leading
+    step axis (pos [S,B,N,3]).  One host->device transfer in, two scalars
+    out — per-step dispatch/fetch round-trips cost seconds each through a
+    tunneled device, and the reference's per-batch loop shape
+    (train.py:160-230) is purely an artifact of eager execution."""
+
+    def body(carry, batch):
+        params, opt_state = carry
+        p, q, o = batch
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, p, q, o)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), jnp.stack([loss, acc])
+
+    (params, opt_state), la = jax.lax.scan(
+        body, (params, opt_state), (pos, queries, occ))
+    return params, opt_state, la[:, 0].mean(), la[:, 1].mean()
+
+
 def confusion_metrics(logits, labels, n_classes=2):
     """OA / AA / IoU from a confusion matrix (reference
     lightconvpoint/utils/metrics.py + train.py:257-311)."""
@@ -100,9 +122,17 @@ def load_checkpoint(path):
 def fit(params, data_iter: Iterator, epochs: int = 1,
         steps_per_epoch: int = 100, lr: float = 1e-3,
         checkpoint_path: Optional[str] = None, logger=None,
-        val_batch=None):
-    """Minimal training driver (reference train.py main loop :160-311)."""
-    opt = optax.adam(lr)
+        val_batch=None, checkpoint_every: int = 1,
+        lr_decay: bool = False):
+    """Minimal training driver (reference train.py main loop :160-311).
+    `lr_decay` switches Adam to a cosine schedule lr -> lr/10 over the
+    full run (the reference uses a constant lr; the decay is what long
+    synthetic proof runs need to converge)."""
+    if lr_decay:
+        opt = optax.adam(optax.cosine_decay_schedule(
+            lr, max(1, epochs * steps_per_epoch), alpha=0.1))
+    else:
+        opt = optax.adam(lr)
     start_epoch = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = load_checkpoint(checkpoint_path)
@@ -114,16 +144,15 @@ def fit(params, data_iter: Iterator, epochs: int = 1,
 
     history = []
     for epoch in range(start_epoch, epochs):
-        losses, accs = [], []
-        for _ in range(steps_per_epoch):
-            pos, queries, occ = next(data_iter)
-            params, opt_state, loss, acc = train_step(
-                params, opt_state, jnp.asarray(pos), jnp.asarray(queries),
-                jnp.asarray(occ), opt)
-            losses.append(float(loss))
-            accs.append(float(acc))
-        rec = {"epoch": epoch, "loss": float(np.mean(losses)),
-               "acc": float(np.mean(accs))}
+        # stack the epoch's batches host-side (numpy, cheap) and run the
+        # whole epoch as one scanned device program
+        batches = [next(data_iter) for _ in range(steps_per_epoch)]
+        pos = jnp.asarray(np.stack([b[0] for b in batches]))
+        queries = jnp.asarray(np.stack([b[1] for b in batches]))
+        occ = jnp.asarray(np.stack([b[2] for b in batches]))
+        params, opt_state, loss, acc = train_epoch(
+            params, opt_state, pos, queries, occ, opt)
+        rec = {"epoch": epoch, "loss": float(loss), "acc": float(acc)}
         if val_batch is not None:
             logits = batched_forward(params, jnp.asarray(val_batch[0]),
                                      jnp.asarray(val_batch[1]))
@@ -132,7 +161,10 @@ def fit(params, data_iter: Iterator, epochs: int = 1,
         history.append(rec)
         if logger:
             logger.info(f"epoch {epoch}: {rec}")
-        if checkpoint_path:
+        if checkpoint_path and ((epoch + 1) % checkpoint_every == 0
+                                or epoch + 1 == epochs):
+            # pulling the param tree off a tunneled device costs ~2 s per
+            # save; checkpoint_every lets long proof runs amortize it
             save_checkpoint(checkpoint_path, params, opt_state, epoch + 1)
     return params, history
 

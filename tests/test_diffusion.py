@@ -223,6 +223,45 @@ def test_w8a8_quant_tree_structure_matches_init():
     assert got == want
 
 
+def test_w8a8_ddnm_sampler_fidelity_gate():
+    """End-to-end DDNM fidelity gate for w8a8 (the bar that keeps
+    `ddnm_quant_int8` shippable): run the full scanned sampler with the
+    fp model and with its quantized torso on the same inputs and noise
+    stream, and require the results to agree.  The known region must be
+    pinned EXACTLY by the Eq.17 data-consistency projection regardless of
+    eps-model error; the inpainted region accumulates 25 steps of int8
+    forward error and must stay within a measured-with-margin band
+    (measured: 34.3 dB / corr 0.9989 on this configuration)."""
+    from pointdreamer_tpu.models.diffusion.ddnm import ddnm_inpaint_batch
+    from pointdreamer_tpu.models.diffusion.unet import quantize_unet_params
+
+    fp = tiny_unet()
+    params = fp.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)),
+                     jnp.zeros((1,)))["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.sign(
+            jnp.sin(jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape)
+            + 0.1) if p.ndim >= 2 else p, params)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    mask = jnp.asarray((rng.random((2, 16, 16)) < 0.5), jnp.float32)
+    key = jax.random.PRNGKey(1234)
+    out_fp = np.asarray(ddnm_inpaint_batch(fp, params, img, mask, key,
+                                           t_sampling=25))
+    q = tiny_unet(quant=True)
+    out_q = np.asarray(ddnm_inpaint_batch(q, quantize_unet_params(params),
+                                          img, mask, key, t_sampling=25))
+
+    def psnr(a, b):
+        return 10 * np.log10(1.0 / max(float(np.mean((a - b) ** 2)), 1e-12))
+
+    known = np.broadcast_to(np.asarray(mask)[..., None].astype(bool),
+                            out_fp.shape)
+    assert psnr(out_q[known], out_fp[known]) >= 60.0
+    assert psnr(out_q, out_fp) >= 28.0
+    assert np.corrcoef(out_q.ravel(), out_fp.ravel())[0, 1] >= 0.99
+
+
 def test_w8a8_quant_output_close_to_fp():
     """w8a8 forward tracks the fp forward on a non-degenerate model: the
     params are randomly initialized (fan-in scaled), so per-channel int8
