@@ -142,3 +142,39 @@ def test_multi_material_obj_export(tmp_path):
     # faces are regrouped by material: compare as sets
     got = {tuple(r) for r in m["faces"]}
     assert got == {tuple(r) for r in f}
+
+
+def test_ckpt_util_download_and_verify(tmp_path, monkeypatch):
+    """ckpt_util's fetch+verify+cache path end-to-end over file:// (no
+    egress here; urllib serves local files through the same code path).
+    Reference: models/DDNM/functions/ckpt_util.py:37-72."""
+    import hashlib
+
+    from pointdreamer_tpu.models.diffusion import ckpt_util
+
+    blob = b"pretend-torch-checkpoint" * 1000
+    src = tmp_path / "weights.pt"
+    src.write_bytes(blob)
+    url = "file://" + str(src)
+    md5 = hashlib.md5(blob).hexdigest()
+    monkeypatch.setitem(ckpt_util.CKPT_REGISTRY, "toy", (url, md5))
+
+    root = str(tmp_path / "cache")
+    p = ckpt_util.get_ckpt_path("toy", root=root)
+    assert open(p, "rb").read() == blob
+    assert not p.endswith(".part") and p.startswith(root)
+
+    # corrupt the cached copy: check=True must refetch and heal it
+    with open(p, "wb") as f:
+        f.write(b"corrupt")
+    p2 = ckpt_util.get_ckpt_path("toy", root=root, check=True)
+    assert p2 == p and open(p, "rb").read() == blob
+
+    # a wrong registry hash must raise, not hand back a bad file
+    monkeypatch.setitem(ckpt_util.CKPT_REGISTRY, "bad", (url, "0" * 32))
+    import pytest as _pytest
+    with _pytest.raises(IOError):
+        ckpt_util.get_ckpt_path("bad", root=str(tmp_path / "cache2"))
+
+    with _pytest.raises(KeyError):
+        ckpt_util.get_ckpt_path("nope")
