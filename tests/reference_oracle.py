@@ -205,7 +205,8 @@ def load_oracles():
                    "dilate_torch_batch"]), ns)
     exec(_extract("pointdreamer/ours_utils.py",
                   ["paint_pixels", "get_forground_inner_edge_mask",
-                   "naive_inpainting", "get_one_sparse_img"]), ns)
+                   "naive_inpainting", "get_one_sparse_img",
+                   "get_point_validation_by_depth"]), ns)
     exec(_extract("pointdreamer/unproject.py",
                   ["get_shrinked_per_view_per_pixel_visibility_torch",
                    "dilate_atlas"]), ns)

@@ -425,3 +425,39 @@ def test_crop_rescale_matches_reference(rescale):
         np.testing.assert_allclose(np.asarray(proj.uv_scales),
                                    r_scales.numpy(), atol=1e-6)
     assert proj.padding == (padding if rescale else 0.0)
+
+
+# ---------------------------------------------------------------------------
+# 7. depth-test point visibility (the per-view z-buffer decision)
+# ---------------------------------------------------------------------------
+
+def test_point_visibility_by_depth_matches_reference(oracle):
+    """point_visibility_by_depth vs the extracted reference
+    get_point_validation_by_depth (ours_utils.py:153-202): same pixel
+    quantization (clip-then-floor, x/y swap) and the same signed
+    depth-offset test, on random uvs/depths including points exactly at
+    the offset boundary and points projecting onto background pixels."""
+    import torch
+
+    from pointdreamer_tpu.ops import splat as osplat
+
+    rng = np.random.default_rng(23)
+    V, N, res, offset = 4, 300, 32, 1e-4
+    uvs = rng.random((V, N, 2)).astype(np.float32)
+    mesh_depth = (rng.random((V, res, res)).astype(np.float32) * 2.0 + 0.5)
+    pd = (rng.random((V, N)).astype(np.float32) * 2.5 + 0.25)
+    # force boundary cases: exact-equal depths and offset-edge depths
+    pix = np.clip(uvs * res, 0, res - 1).astype(np.int64)
+    rows, cols = pix[..., 1], pix[..., 0]
+    vi = np.arange(V)[:, None]
+    pd[:, :50] = mesh_depth[vi, rows, cols][:, :50]            # equal
+    pd[:, 50:100] = mesh_depth[vi, rows, cols][:, 50:100] + offset
+
+    ref_vis, ref_pix = oracle["get_point_validation_by_depth"](
+        res, torch.from_numpy(uvs), torch.from_numpy(pd),
+        torch.from_numpy(mesh_depth), offset=offset)
+
+    mine = np.asarray(osplat.point_visibility_by_depth(
+        jnp.asarray(uvs * 2.0 - 1.0), jnp.asarray(pd),
+        jnp.asarray(mesh_depth), offset=offset))
+    np.testing.assert_array_equal(mine, ref_vis.numpy())
