@@ -37,7 +37,8 @@ def run_once(pipe, out_dir, tag):
 
 
 def time_leg(cfg, out_dir):
-    """warmup (compile) + timed run with cleared caches -> (sec, timer)."""
+    """warmup (compile) + timed run with cleared caches
+    -> (sec, timer, pipe)."""
     from pointdreamer_tpu.pipeline.pipeline import Pipeline
 
     pipe = Pipeline.create(cfg)
@@ -46,7 +47,24 @@ def time_leg(cfg, out_dir):
     shutil.rmtree(out_dir, ignore_errors=True)  # drop stage caches
     t0 = time.time()
     timer = run_once(pipe, out_dir, "timed")
-    return time.time() - t0, timer
+    return time.time() - t0, timer, pipe
+
+
+def time_throughput(cfg, out_dir, plys, pipe, concurrency=2):
+    """Steady-state dataset throughput: REUSE the leg's Pipeline so the
+    measurement excludes model init / weight quantization (setup, not
+    throughput — round 3 re-created the Pipeline inside the timed window
+    and reported ~+4 s/shape of pure setup as 'throughput')."""
+    from pointdreamer_tpu.pipeline.batch import run_dataset
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_dataset(cfg, plys, concurrency=concurrency, pipe=pipe)   # warm
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = run_dataset(cfg, plys, concurrency=concurrency, pipe=pipe)
+    sec = (time.time() - t0) / max(len(plys), 1)
+    ok = sum(r["status"] == "ok" for r in res.values())
+    return sec, ok
 
 
 def main():
@@ -60,56 +78,54 @@ def main():
     cfg.output_path = out_dir
     cfg.geo_from = "SPR"  # no POCO checkpoint ships with the reference
     cfg.save_input_pc = False
-    diff_sec, diff_timer = time_leg(cfg, out_dir)
+    diff_sec, diff_timer, diff_pipe = time_leg(cfg, out_dir)
     detail = {f"diffusion_{k}": round(v, 3)
               for k, v in diff_timer.times.items()}
 
+    demo_dir = "/root/reference/dataset/demo_data"
+    plys = sorted(os.path.join(demo_dir, p)
+                  for p in os.listdir(demo_dir) if p.endswith(".ply"))
+
     # ---- leg 1b: flagship THROUGHPUT over the 4 demo clouds -----------
     # Two shapes in flight (run_dataset concurrency): one shape's host
-    # stages (LSCM unwrap, packing, IO) hide under the other's ~11 s
-    # device-bound DDNM scan, so sec/shape approaches pure device time.
-    # All demo clouds share the 32768-point padding bucket -> the warm
-    # pass reuses the leg-1 executables.
+    # stages (LSCM unwrap, packing, IO) hide under the other's ~9-11 s
+    # device-bound DDNM scan.  All demo clouds share the 32768-point
+    # padding bucket -> the warm pass reuses the leg-1 executables.
     if os.environ.get("PD_BENCH_SKIP_TPUT") != "1":
-        from pointdreamer_tpu.pipeline.batch import run_dataset
+        sec, ok = time_throughput(cfg, out_dir, plys, diff_pipe)
+        detail["throughput_sec_per_shape_full_diffusion"] = round(sec, 3)
+        detail["throughput_shapes_ok"] = ok
 
-        demo_dir = "/root/reference/dataset/demo_data"
-        plys = sorted(os.path.join(demo_dir, p)
-                      for p in os.listdir(demo_dir) if p.endswith(".ply"))
-        shutil.rmtree(out_dir, ignore_errors=True)
-        run_dataset(cfg, plys, concurrency=2)   # warm remaining buckets
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t1 = time.time()
-        res = run_dataset(cfg, plys, concurrency=2)
-        detail["throughput_sec_per_shape_full_diffusion"] = round(
-            (time.time() - t1) / max(len(plys), 1), 3)
-        detail["throughput_shapes_ok"] = sum(
-            r["status"] == "ok" for r in res.values())
+    # ---- leg 1a: flagship with the w8a8 torso (ddnm_quant_int8) --------
+    # Same pipeline, int8 MXU passes on the UNet torso convs/denses.
+    # Fidelity is gated by tests/test_diffusion.py::
+    # test_w8a8_ddnm_sampler_fidelity_gate (known region exact, full image
+    # >=28 dB vs the fp sampler on the same noise stream).
+    if os.environ.get("PD_BENCH_SKIP_INT8") != "1":
+        cfg.ddnm_quant_int8 = True
+        int8_sec, int8_timer, int8_pipe = time_leg(cfg, out_dir)
+        detail["int8_sec_per_shape"] = round(int8_sec, 3)
+        detail["int8_inpaint"] = round(int8_timer.times.get("inpaint", 0), 3)
+        if os.environ.get("PD_BENCH_SKIP_TPUT") != "1":
+            sec, ok = time_throughput(cfg, out_dir, plys, int8_pipe)
+            detail["int8_throughput_sec_per_shape"] = round(sec, 3)
+            detail["int8_throughput_shapes_ok"] = ok
+        cfg.ddnm_quant_int8 = False
 
     # ---- leg 2: nearest-fill path (nearest.yaml) -----------------------
     cfg = load_config(os.path.join(cfg_dir, "nearest.yaml"))
     cfg.output_path = out_dir
     cfg.geo_from = "SPR"
     cfg.save_input_pc = False
-    near_sec, near_timer = time_leg(cfg, out_dir)
+    near_sec, near_timer, near_pipe = time_leg(cfg, out_dir)
     detail["nearest_path_sec"] = round(near_sec, 3)
     detail.update({f"nearest_{k}": round(v, 3)
                    for k, v in near_timer.times.items()})
 
     # opt-in (PD_BENCH_THROUGHPUT=1): nearest-path throughput too
     if os.environ.get("PD_BENCH_THROUGHPUT") == "1":
-        from pointdreamer_tpu.pipeline.batch import run_dataset
-
-        demo_dir = "/root/reference/dataset/demo_data"
-        plys = sorted(os.path.join(demo_dir, p)
-                      for p in os.listdir(demo_dir) if p.endswith(".ply"))
-        shutil.rmtree(out_dir, ignore_errors=True)
-        run_dataset(cfg, plys, concurrency=2)   # warm
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t1 = time.time()
-        res = run_dataset(cfg, plys, concurrency=2)
-        detail["throughput_sec_per_shape_nearest"] = round(
-            (time.time() - t1) / max(len(plys), 1), 3)
+        sec, _ = time_throughput(cfg, out_dir, plys, near_pipe)
+        detail["throughput_sec_per_shape_nearest"] = round(sec, 3)
 
     baseline_a100 = 60.0  # reference full-diffusion e2e sec/shape on A100
     print(json.dumps({

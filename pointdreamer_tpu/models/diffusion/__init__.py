@@ -45,7 +45,10 @@ def load_inpainter(checkpoint_path=None, logger=None,
         warnings.warn("no diffusion checkpoint: UNet is randomly "
                       "initialized; textures from DDNM_inpaint will be "
                       "meaningless (use nearest/linear instead)")
-        # param shapes are image-size independent; init small & fast
+        # param shapes are image-size independent; init small & fast.
+        # (A host-side numpy fill would be cheaper to trace but pushes
+        # ~2.2 GB through the ~14 MB/s device tunnel; flax init stays
+        # on-device.)
         init_size = 16 * 2 ** (len(model.channel_mult) - 1)
         fp_model = (model.clone(quant=False) if quant_int8 else model)
         params = init_unet_params(fp_model, image_size=init_size)

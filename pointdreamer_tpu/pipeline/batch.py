@@ -28,6 +28,7 @@ def run_dataset(
     render_views: int = 20,
     gt_render_dirs: Optional[Dict[str, str]] = None,
     concurrency: int = 1,
+    pipe: Optional[Pipeline] = None,
 ) -> Dict[str, dict]:
     """Reconstruct every shape; returns {name: {status, obj, metrics?}}.
 
@@ -39,8 +40,12 @@ def run_dataset(
     sec/shape from (host + device) toward max(host, device); it helps
     exactly when host and device shares are comparable (they are: see
     README perf table).  Failure isolation is unchanged — each shape
-    has its own try/except."""
-    pipe = Pipeline.create(cfg)
+    has its own try/except.
+
+    `pipe` reuses an existing Pipeline (models loaded, jit caches warm);
+    building one here costs model init + weight quantization per call —
+    ~15 s of setup that belongs to startup, not to per-shape throughput."""
+    pipe = pipe or Pipeline.create(cfg)
     log = pipe.logger
     results: Dict[str, dict] = {}
     work = sorted(pc_files)[shard_index::shard_count]
