@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from .ddnm import DDNMInpainter, ddnm_inpaint_batch, get_schedule_jump
-from .unet import UNetModel, imagenet256_unet, timestep_embedding
+from .unet import (AttentionPool2d, EncoderUNetModel, SuperResModel,
+                   UNetModel, imagenet256_unet, timestep_embedding)
 
 
 def init_unet_params(model: UNetModel, rng_key=None, image_size: int = 256):

@@ -101,6 +101,55 @@ def convert_torch_state_dict(sd: Dict[str, "np.ndarray"],
     return params
 
 
+def convert_encoder_state_dict(sd: Dict[str, "np.ndarray"],
+                               model_channels=128, num_res_blocks=2,
+                               channel_mult=(1, 1, 2, 2, 4, 4),
+                               attention_ds=(8, 16, 32),
+                               pool="attention") -> Dict:
+    """Torch EncoderUNetModel state_dict (e.g. the public
+    256x256_classifier.pt; reference unet.py:684-850) -> flax
+    EncoderUNetModel params.  Encoder/middle blocks share the UNet's
+    naming; the head is out.{0:GN, 2:AttentionPool2d|1x1 conv}."""
+    input_plan, middle_plan, _ = unet_plan(
+        model_channels, num_res_blocks, channel_mult, attention_ds)
+    params = {
+        "time_embed_0": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "out_norm": _norm(sd, "out.0"),
+    }
+    if pool == "attention":
+        params["out_pool"] = {
+            # torch positional_embedding is [C, HW+1]; ours token-major
+            "positional_embedding":
+                np.asarray(sd["out.2.positional_embedding"]).T,
+            "qkv_proj": _conv1d_as_dense(sd, "out.2.qkv_proj"),
+            "c_proj": _conv1d_as_dense(sd, "out.2.c_proj"),
+        }
+    else:   # adaptive: out.3 is the zero-init 1x1 conv before Flatten
+        k = np.asarray(sd["out.3.weight"])          # [out, C, 1, 1]
+        params["out_conv"] = {"kernel": k[:, :, 0, 0].T,
+                              "bias": np.asarray(sd["out.3.bias"])}
+
+    def map_layer(kind, tprefix):
+        if kind == "conv":
+            return _conv(sd, tprefix)
+        if kind == "res":
+            return _resblock(sd, tprefix)
+        if kind == "attn":
+            return _attention(sd, tprefix)
+        if kind == "down":
+            return {"conv": _conv(sd, tprefix + ".op")}
+        raise ValueError(kind)
+
+    for i, layers in enumerate(input_plan):
+        for j, (kind, _, _) in enumerate(layers):
+            params[f"input_{i}_{j}"] = map_layer(
+                kind, f"input_blocks.{i}.{j}")
+    for j, (kind, _, _) in enumerate(middle_plan):
+        params[f"middle_{j}"] = map_layer(kind, f"middle_block.{j}")
+    return params
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     import torch
 

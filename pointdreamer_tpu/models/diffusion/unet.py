@@ -369,6 +369,100 @@ def imagenet256_unet(dtype=jnp.bfloat16, quant: bool = False) -> UNetModel:
     return UNetModel(dtype=dtype, quant=quant)
 
 
+class SuperResModel(nn.Module):
+    """Super-resolution UNet (reference unet.py:667-683): the plain
+    UNetModel conditioned on a bilinear-upsampled low-resolution image by
+    channel concatenation (in_channels doubles)."""
+
+    unet: UNetModel
+
+    @nn.compact
+    def __call__(self, x, timesteps, low_res):
+        up = jax.image.resize(
+            low_res,
+            (x.shape[0], x.shape[1], x.shape[2], low_res.shape[-1]),
+            method="bilinear")   # F.interpolate align_corners=False
+        return self.unet(jnp.concatenate([x, up.astype(x.dtype)], axis=-1),
+                         timesteps)
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (reference unet.py:22-51): prepend
+    the spatial mean as a query token, add a learned positional
+    embedding, run one NEW-order QKV attention (unet.py:361-394 — split
+    into q/k/v chunks first, then heads), return the pooled token."""
+
+    num_head_channels: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):                      # [B, H, W, C] fp32
+        b, h, w, c = x.shape
+        t = x.reshape(b, h * w, c)
+        t = jnp.concatenate([t.mean(axis=1, keepdims=True), t], axis=1)
+        # torch stores [C, HW+1] initialized randn/sqrt(C); ours is
+        # transposed to token-major
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(1.0 / math.sqrt(c)),
+                         (h * w + 1, c))
+        t = t + pos[None]
+        qkv = nn.Dense(3 * c, name="qkv_proj")(t)
+        heads, hd = c // self.num_head_channels, self.num_head_channels
+        q, k, v = jnp.split(qkv, 3, axis=-1)    # NEW order: chunks first
+        q = q.reshape(b, -1, heads, hd)
+        k = k.reshape(b, -1, heads, hd)
+        v = v.reshape(b, -1, heads, hd)
+        scale = 1.0 / math.sqrt(math.sqrt(hd))
+        logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1)
+        a = jnp.einsum("bhts,bshd->bthd", weights, v).reshape(b, -1, c)
+        return nn.Dense(self.out_dim, name="c_proj")(a)[:, 0]
+
+
+class EncoderUNetModel(UNetModel):
+    """The half-UNet classifier (reference unet.py:684-850; built by
+    script_util.create_classifier :229-266): encoder + middle blocks of
+    UNetModel, then a pooled head — 'adaptive' (GN+SiLU+global-mean+
+    zero-init 1x1) or 'attention' (GN+SiLU+AttentionPool2d, the
+    create_classifier default)."""
+
+    pool: str = "adaptive"
+
+    @nn.compact
+    def __call__(self, x, timesteps):
+        input_plan, middle_plan, _ = unet_plan(
+            self.model_channels, self.num_res_blocks,
+            tuple(self.channel_mult), tuple(self.attention_ds),
+            self.resblock_updown)
+
+        emb = timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(4 * self.model_channels, dtype=self.dtype,
+                       name="time_embed_0")(emb.astype(self.dtype))
+        emb = nn.Dense(4 * self.model_channels, dtype=self.dtype,
+                       name="time_embed_2")(nn.silu(emb))
+
+        h = x.astype(self.dtype)
+        for i, layers in enumerate(input_plan):
+            for j, (kind, oc, flags) in enumerate(layers):
+                mod = self._layer(kind, oc, flags, f"input_{i}_{j}")
+                h = mod(h, emb) if kind == "res" else mod(h)
+        for j, (kind, oc, flags) in enumerate(middle_plan):
+            mod = self._layer(kind, oc, flags, f"middle_{j}")
+            h = mod(h, emb) if kind == "res" else mod(h)
+
+        h = nn.silu(_norm("out_norm")(h.astype(jnp.float32)))
+        if self.pool == "adaptive":
+            h = h.mean(axis=(1, 2))             # AdaptiveAvgPool2d((1,1))
+            return nn.Dense(self.out_channels,
+                            kernel_init=nn.initializers.zeros,
+                            name="out_conv")(h)
+        if self.pool == "attention":
+            return AttentionPool2d(self.num_head_channels,
+                                   self.out_channels, name="out_pool")(h)
+        raise ValueError(f"unsupported pool '{self.pool}'")
+
+
 # ---------------------------------------------------------------------------
 # w8a8 param-tree transform
 

@@ -369,3 +369,92 @@ def test_ddpm_init_params_key_parity():
                     attn_resolutions=(8,), in_channels=3, resolution=32)
     ours = init_ddpm_params(plan, seed=1)
     assert set(ours) == set(tm.state_dict().keys())
+
+
+def test_superres_unet_matches_reference_torch():
+    """SuperResModel (reference unet.py:667-683): bilinear-upsampled
+    low-res conditioning concatenated on channels, then the plain UNet."""
+    sys.path.insert(0, REF + "/models/DDNM")
+    from guided_diffusion.unet import SuperResModel as TorchSuperRes
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.models.diffusion import SuperResModel, UNetModel
+    from pointdreamer_tpu.models.diffusion.convert import (
+        convert_torch_state_dict)
+
+    torch.manual_seed(0)
+    tm = TorchSuperRes(image_size=16, in_channels=3, model_channels=32,
+                       out_channels=6, num_res_blocks=1,
+                       attention_resolutions=(2,), channel_mult=(1, 2),
+                       num_heads=1, num_head_channels=16,
+                       use_scale_shift_norm=True, resblock_updown=True,
+                       use_fp16=False).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_state_dict(sd, model_channels=32,
+                                      num_res_blocks=1, channel_mult=(1, 2),
+                                      attention_ds=(2,))
+    ours = SuperResModel(unet=UNetModel(
+        model_channels=32, out_channels=6, num_res_blocks=1,
+        channel_mult=(1, 2), attention_ds=(2,), num_head_channels=16,
+        dtype=jnp.float32))
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    lr = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    t = np.array([5.0, 420.0], np.float32)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                  torch.from_numpy(t),
+                  low_res=torch.from_numpy(lr.transpose(0, 3, 1, 2)),
+                  ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(ours.apply(
+        {"params": {"unet": jax.tree_util.tree_map(jnp.asarray, params)}},
+        jnp.asarray(x), jnp.asarray(t), jnp.asarray(lr)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("pool", ["adaptive", "attention"])
+def test_encoder_unet_matches_reference_torch(pool):
+    """EncoderUNetModel classifier (reference unet.py:684-850 +
+    script_util.create_classifier :229-266): encoder + middle + pooled
+    head, both pool modes."""
+    sys.path.insert(0, REF + "/models/DDNM")
+    from guided_diffusion.unet import EncoderUNetModel as TorchEncoder
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.models.diffusion import EncoderUNetModel
+    from pointdreamer_tpu.models.diffusion.convert import (
+        convert_encoder_state_dict)
+
+    torch.manual_seed(1)
+    tm = TorchEncoder(image_size=16, in_channels=3, model_channels=32,
+                      out_channels=10, num_res_blocks=1,
+                      attention_resolutions=(2,), channel_mult=(1, 2),
+                      num_head_channels=16, use_scale_shift_norm=True,
+                      resblock_updown=True, use_fp16=False,
+                      pool=pool).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = convert_encoder_state_dict(
+        sd, model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+        attention_ds=(2,), pool=pool)
+    ours = EncoderUNetModel(model_channels=32, out_channels=10,
+                            num_res_blocks=1, channel_mult=(1, 2),
+                            attention_ds=(2,), num_head_channels=16,
+                            dtype=jnp.float32, pool=pool)
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    t = np.array([7.0, 901.0], np.float32)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                  torch.from_numpy(t)).numpy()
+    got = np.asarray(ours.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
