@@ -76,6 +76,23 @@ def _attn_kernel(qkv_ref, o_ref, *, heads, hd, scale):
         o_ref[0, :, hd * j:hd * (j + 1)] = out.astype(o_ref.dtype)
 
 
+def _attention_einsum_ref(qkv: jnp.ndarray, heads: int, hd: int
+                          ) -> jnp.ndarray:
+    """The XLA einsum formulation of the same legacy-order attention —
+    numerically interchangeable with the kernel (parity-tested); used as
+    the differentiable surrogate in the custom VJP below."""
+    b, t, c3 = qkv.shape
+    qkv4 = qkv.reshape(b, t, heads, 3 * hd)
+    q, k, v = jnp.split(qkv4, 3, axis=-1)
+    scale = 1.0 / (hd ** 0.25)
+    logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    a = jnp.einsum("bhts,bshd->bthd", w.astype(qkv.dtype), v)
+    return a.reshape(b, t, heads * hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 @functools.partial(jax.jit, static_argnames=("heads", "hd", "interpret"))
 def fused_attention_qkv(qkv: jnp.ndarray, heads: int, hd: int,
                         interpret: bool = False) -> jnp.ndarray:
@@ -83,6 +100,11 @@ def fused_attention_qkv(qkv: jnp.ndarray, heads: int, hd: int,
 
     Grid over B; each program walks all heads of one batch item with the
     full token set resident in VMEM.
+
+    Differentiable: a raw pallas_call has no autodiff rule, so the custom
+    VJP recomputes the attention with the einsum reference and pulls the
+    cotangent through THAT (rematerialized backward — the training path
+    pays two extra matmuls, the inference path is untouched).
     """
     B, T, C3 = qkv.shape
     assert C3 == 3 * heads * hd, (qkv.shape, heads, hd)
@@ -101,3 +123,15 @@ def fused_attention_qkv(qkv: jnp.ndarray, heads: int, hd: int,
             transcendentals=B * heads * T * T),
         interpret=interpret,
     )(qkv)
+
+
+def _fused_attention_fwd(qkv, heads, hd, interpret):
+    return fused_attention_qkv(qkv, heads, hd, interpret), qkv
+
+
+def _fused_attention_bwd(heads, hd, interpret, qkv, g):
+    _, vjp = jax.vjp(lambda q: _attention_einsum_ref(q, heads, hd), qkv)
+    return vjp(g)
+
+
+fused_attention_qkv.defvjp(_fused_attention_fwd, _fused_attention_bwd)

@@ -47,3 +47,24 @@ def test_gate_requires_tpu():
 
     # conftest pins the CPU backend: the production gate must say no here
     assert attention_pallas_ok(1024, 8, 64) is False
+
+
+def test_fused_attention_vjp_matches_einsum_grad():
+    """The custom VJP (needed because a raw pallas_call has no autodiff
+    rule — the DDPM trainer differentiates through the UNet) must produce
+    the einsum formulation's gradient."""
+    from pointdreamer_tpu.kernels.attention_pallas import (
+        _attention_einsum_ref, fused_attention_qkv)
+
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((2, 16, 3 * 2 * 8)), jnp.float32)
+
+    def loss_kernel(q):
+        return jnp.sum(jnp.sin(fused_attention_qkv(q, 2, 8, True)))
+
+    def loss_ref(q):
+        return jnp.sum(jnp.sin(_attention_einsum_ref(q, 2, 8)))
+
+    g_kernel = np.asarray(jax.grad(loss_kernel)(qkv))
+    g_ref = np.asarray(jax.grad(loss_ref)(qkv))
+    np.testing.assert_allclose(g_kernel, g_ref, atol=1e-5, rtol=1e-5)
