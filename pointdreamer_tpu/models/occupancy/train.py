@@ -123,11 +123,17 @@ def fit(params, data_iter: Iterator, epochs: int = 1,
         steps_per_epoch: int = 100, lr: float = 1e-3,
         checkpoint_path: Optional[str] = None, logger=None,
         val_batch=None, checkpoint_every: int = 1,
-        lr_decay: bool = False):
+        lr_decay: bool = False, mesh=None):
     """Minimal training driver (reference train.py main loop :160-311).
     `lr_decay` switches Adam to a cosine schedule lr -> lr/10 over the
     full run (the reference uses a constant lr; the decay is what long
-    synthetic proof runs need to converge)."""
+    synthetic proof runs need to converge).
+
+    `mesh` (a jax.sharding.Mesh with a 'dp' axis) turns on data-parallel
+    training: params/optimizer replicated, every batch's B axis sharded
+    over dp; GSPMD inserts the gradient all-reduce (the TPU-native
+    upgrade of the reference's torch.nn.DataParallel, SURVEY §2.10).
+    Batch size must divide the dp axis."""
     if lr_decay:
         opt = optax.adam(optax.cosine_decay_schedule(
             lr, max(1, epochs * steps_per_epoch), alpha=0.1))
@@ -142,6 +148,18 @@ def fit(params, data_iter: Iterator, epochs: int = 1,
     else:
         opt_state = opt.init(params)
 
+    shard_batch = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        # epoch arrays are [S(teps), B, ...]: shard B over dp
+        def shard_batch(a):
+            spec = P(*((None, "dp") + (None,) * (a.ndim - 2)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
     history = []
     for epoch in range(start_epoch, epochs):
         # stack the epoch's batches host-side (numpy, cheap) and run the
@@ -150,6 +168,9 @@ def fit(params, data_iter: Iterator, epochs: int = 1,
         pos = jnp.asarray(np.stack([b[0] for b in batches]))
         queries = jnp.asarray(np.stack([b[1] for b in batches]))
         occ = jnp.asarray(np.stack([b[2] for b in batches]))
+        if shard_batch is not None:
+            pos, queries, occ = (shard_batch(pos), shard_batch(queries),
+                                 shard_batch(occ))
         params, opt_state, loss, acc = train_epoch(
             params, opt_state, pos, queries, occ, opt)
         rec = {"epoch": epoch, "loss": float(loss), "acc": float(acc)}

@@ -178,3 +178,37 @@ def test_inpainter_mesh_option():
     out = np.asarray(DDNMInpainter(model, params, t_sampling=4, mesh=mesh)
                      .inpaint(img, mask))
     np.testing.assert_allclose(out, base, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_poco_fit_dp_mesh_matches_single_device():
+    """fit(mesh=...) — POCO data-parallel training (SURVEY §2.10): params
+    replicated, batch axis sharded over dp, GSPMD inserting the gradient
+    all-reduce — must reproduce the single-device trajectory.  (slow:
+    ~80 s of CPU-mesh compiles; the fast suite's dryrun train leg covers
+    the sharded-training compile path.)"""
+    import jax.numpy as jnp
+
+    from pointdreamer_tpu.models.occupancy import train as ptrain
+    from pointdreamer_tpu.models.occupancy.convert import init_params
+    from pointdreamer_tpu.parallel.mesh import make_mesh
+
+    def it():
+        rng = np.random.default_rng(0)
+        while True:
+            yield ptrain.synthetic_occupancy_batch(rng, batch=8,
+                                                   n_points=64,
+                                                   n_queries=32)
+
+    p0 = init_params(seed=0, hidden=16)
+    ref, _ = ptrain.fit(p0, it(), epochs=2, steps_per_epoch=2)
+
+    mesh = make_mesh(8, tp=1)
+    got, hist = ptrain.fit(p0, it(), epochs=2, steps_per_epoch=2,
+                           mesh=mesh)
+    assert np.isfinite(hist[-1]["loss"])
+    flat_a = jax.tree_util.tree_leaves(ref)
+    flat_b = jax.tree_util.tree_leaves(got)
+    for va, vb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   atol=2e-5, rtol=2e-5)
