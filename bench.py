@@ -70,6 +70,7 @@ def time_throughput(cfg, out_dir, plys, pipe, concurrency=2):
 def main():
     from pointdreamer_tpu.core.config import load_config
 
+    t_start = time.time()
     out_dir = "/tmp/pd_bench_out"
     cfg_dir = os.path.join(os.path.dirname(__file__) or ".", "configs")
 
@@ -86,12 +87,22 @@ def main():
     plys = sorted(os.path.join(demo_dir, p)
                   for p in os.listdir(demo_dir) if p.endswith(".ply"))
 
+    # Optional legs respect a wall-clock budget (counted from process
+    # start, so a cold leg-1 compile eats into it) so a cold run in a
+    # time-limited harness still prints the headline JSON; skipped legs
+    # are recorded as such, and measured values from a warm-cache run
+    # live in README "Performance" and BENCH_r04.
+    budget = float(os.environ.get("PD_BENCH_BUDGET_S", "1200"))
+
+    def have_time():
+        return time.time() - t_start < budget
+
     # ---- leg 1b: flagship THROUGHPUT over the 4 demo clouds -----------
     # Two shapes in flight (run_dataset concurrency): one shape's host
     # stages (LSCM unwrap, packing, IO) hide under the other's ~9-11 s
     # device-bound DDNM scan.  All demo clouds share the 32768-point
     # padding bucket -> the warm pass reuses the leg-1 executables.
-    if os.environ.get("PD_BENCH_SKIP_TPUT") != "1":
+    if os.environ.get("PD_BENCH_SKIP_TPUT") != "1" and have_time():
         sec, ok = time_throughput(cfg, out_dir, plys, diff_pipe)
         detail["throughput_sec_per_shape_full_diffusion"] = round(sec, 3)
         detail["throughput_shapes_ok"] = ok
@@ -101,16 +112,18 @@ def main():
     # Fidelity is gated by tests/test_diffusion.py::
     # test_w8a8_ddnm_sampler_fidelity_gate (known region exact, full image
     # >=28 dB vs the fp sampler on the same noise stream).
-    if os.environ.get("PD_BENCH_SKIP_INT8") != "1":
+    if os.environ.get("PD_BENCH_SKIP_INT8") != "1" and have_time():
         cfg.ddnm_quant_int8 = True
         int8_sec, int8_timer, int8_pipe = time_leg(cfg, out_dir)
         detail["int8_sec_per_shape"] = round(int8_sec, 3)
         detail["int8_inpaint"] = round(int8_timer.times.get("inpaint", 0), 3)
-        if os.environ.get("PD_BENCH_SKIP_TPUT") != "1":
+        if os.environ.get("PD_BENCH_SKIP_TPUT") != "1" and have_time():
             sec, ok = time_throughput(cfg, out_dir, plys, int8_pipe)
             detail["int8_throughput_sec_per_shape"] = round(sec, 3)
             detail["int8_throughput_shapes_ok"] = ok
         cfg.ddnm_quant_int8 = False
+    if not have_time():
+        detail["optional_legs_skipped_at_budget_s"] = budget
 
     # ---- leg 2: nearest-fill path (nearest.yaml) -----------------------
     cfg = load_config(os.path.join(cfg_dir, "nearest.yaml"))
