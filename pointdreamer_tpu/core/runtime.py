@@ -9,6 +9,33 @@ from __future__ import annotations
 import os
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of the host CPU feature set.  XLA:CPU AOT executables
+    embed the compile machine's features; loading them on a host with a
+    different feature set logs SIGILL warnings (cpu_aot_loader.cc) and can
+    crash outright.  Keying the cache dir by this fingerprint makes a
+    cache populated on one host class invisible to another."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{feats}"
+    # NOTE: same-machine cache loads still log benign cpu_aot_loader
+    # "feature not supported" errors for +prefer-no-gather/-scatter —
+    # those are XLA tuning pseudo-features embedded at compile time that
+    # never appear in the raw host feature list.  Real flag mismatches
+    # (different host class) are what this fingerprint prevents.
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 def setup_jax(cache_dir: str | None = None) -> None:
     import jax
 
@@ -19,6 +46,7 @@ def setup_jax(cache_dir: str | None = None) -> None:
         return
     cache_dir = cache_dir or os.environ.get(
         "PD_JAX_CACHE", os.path.expanduser("~/.cache/pointdreamer_jax"))
+    cache_dir = os.path.join(cache_dir, _machine_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

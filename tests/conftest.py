@@ -14,6 +14,15 @@ import jax
 # tests must run on the virtual 8-device CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent machine-keyed compile cache: XLA:CPU compiles dominate the
+# suite's wall time on the 1-core hosts (the e2e cube test alone pays
+# ~2.5 min of compiles cold); a repeat run on the same host class skips
+# them.  The fingerprinted dir (core/runtime.py) can't serve another
+# host's AOT executables, so no cross-machine SIGILL risk.
+from pointdreamer_tpu.core.runtime import setup_jax  # noqa: E402
+
+setup_jax()
+
 import numpy as np
 import pytest
 
