@@ -73,6 +73,12 @@ class PipelineConfig:
     # w8a8 UNet torso (int8 MXU passes, ~1.6x faster denoise loop on v5e);
     # quality is approximate — off by default for reference parity
     ddnm_quant_int8: bool = False
+    # STATIC per-step w8a8 activation scales, calibrated from one
+    # dynamic-scale trajectory on the first inpaint call (removes the
+    # per-conv abs-max reduction pass; measured scan 8.93 -> 8.07 s on
+    # v5e).  False = dynamic per-call scales.  Only meaningful with
+    # ddnm_quant_int8.
+    ddnm_quant_static: bool = True
     # GT-texture ablation (reference recon_one_shape's
     # use_GT_multi_view_img / load_exist_dense_img_path branches,
     # ours_utils.py:1046-1200): pre-rendered DENSE views replace the

@@ -24,7 +24,8 @@ def init_unet_params(model: UNetModel, rng_key=None, image_size: int = 256):
 def load_inpainter(checkpoint_path=None, logger=None,
                    t_sampling: int = 100, eta: float = 0.85,
                    seed: int = 1234, model_kwargs=None,
-                   mesh=None, quant_int8: bool = False) -> DDNMInpainter:
+                   mesh=None, quant_int8: bool = False,
+                   quant_static: bool = True) -> DDNMInpainter:
     """Build the DDNM inpainter (reference prepare(), demo.py:322-328).
 
     With a checkpoint path, torch weights are converted; without one the
@@ -53,10 +54,16 @@ def load_inpainter(checkpoint_path=None, logger=None,
         init_size = 16 * 2 ** (len(model.channel_mult) - 1)
         fp_model = (model.clone(quant=False) if quant_int8 else model)
         params = init_unet_params(fp_model, image_size=init_size)
+    static_calib = False
     if quant_int8:
         from .unet import quantize_unet_params
 
         if logger:
             logger.info("quantizing UNet torso to w8a8 (int8 MXU)")
         params = quantize_unet_params(params)
-    return DDNMInpainter(model, params, t_sampling, eta, seed, mesh=mesh)
+        # static per-step activation scales, calibrated on the first
+        # inpaint call (removes the per-conv abs-max reduction pass);
+        # False keeps the dynamic per-call scales
+        static_calib = quant_static
+    return DDNMInpainter(model, params, t_sampling, eta, seed, mesh=mesh,
+                         static_calib=static_calib)

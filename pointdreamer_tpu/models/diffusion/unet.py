@@ -45,12 +45,32 @@ def _norm(name: str):
                         name=name)
 
 
+def _act_amax(mod: nn.Module, xf: jnp.ndarray) -> jnp.ndarray:
+    """Per-tensor activation abs-max for int8 quantization.
+
+    Static when the module has an `act_scales` collection entry (written
+    by `calibrate_act_scales` — saves the extra fp32 reduction pass over
+    every torso activation, and lets XLA fuse the quantize into the
+    producing GroupNorm/SiLU); dynamic otherwise, in which case the
+    observed max is sown to the `calib` collection so a calibration
+    apply(mutable=["calib"]) can harvest it.  Values beyond a static
+    scale saturate at +-127 (the clip below), which the fidelity gate
+    bounds (tests/test_diffusion.py)."""
+    if mod.has_variable("act_scales", "amax"):
+        return mod.get_variable("act_scales", "amax")
+    amax = jnp.max(jnp.abs(xf))
+    mod.sow("calib", "amax", amax, reduce_fn=jnp.maximum,
+            init_fn=lambda: jnp.zeros((), jnp.float32))
+    return amax
+
+
 class QConv8(nn.Module):
     """w8a8 conv: per-output-channel int8 weights (pre-quantized by
-    `quantize_unet_params`), dynamic per-tensor int8 activations, int32
-    MXU accumulation, fp32 dequant.  Same param path layout as nn.Conv
-    (module_name/{kernel_q,kernel_s,bias}) so the tree transform is
-    mechanical.  v5e int8 peak is 2x bf16; measured conv throughput
+    `quantize_unet_params`), per-tensor int8 activations (static scale
+    from calibration when available, else dynamic — see `_act_amax`),
+    int32 MXU accumulation, fp32 dequant.  Same param path layout as
+    nn.Conv (module_name/{kernel_q,kernel_s,bias}) so the tree transform
+    is mechanical.  v5e int8 peak is 2x bf16; measured conv throughput
     275 TOP/s vs 162 TFLOP/s bf16 (see README)."""
 
     features: int
@@ -70,7 +90,7 @@ class QConv8(nn.Module):
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32)
         xf = x.astype(jnp.float32)
-        ax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        ax = jnp.maximum(_act_amax(self, xf), 1e-12) / 127.0
         xq = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
@@ -98,7 +118,7 @@ class QDense8(nn.Module):
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32)
         xf = x.astype(jnp.float32)
-        ax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+        ax = jnp.maximum(_act_amax(self, xf), 1e-12) / 127.0
         xq = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
         y = jax.lax.dot_general(xq, kq, (((xq.ndim - 1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
@@ -498,3 +518,37 @@ def quantize_unet_params(params: Dict, _path=()) -> Dict:
         else:
             out[k] = quantize_unet_params(v, _path + (k,))
     return out
+
+
+def calibrate_act_scales(model, params, xs, ts, margin: float = 1.25):
+    """Static per-tensor activation scales for the w8a8 torso.
+
+    Runs the quantized model with DYNAMIC scales over the calibration
+    inputs `xs` (a sequence of [B,H,W,3] arrays, same shapes) at
+    timesteps `ts`, harvests each QConv8/QDense8's observed
+    max|activation| via the `calib` sow collection, folds the
+    elementwise max across runs, and inflates it by `margin` to absorb
+    distribution drift over the sampler trajectory (out-of-range values
+    saturate at +-127 instead of growing error).  The returned tree is
+    the `act_scales` collection to pass alongside params:
+
+        model.apply({"params": p, "act_scales": scales}, x, t)
+
+    which removes the per-conv fp32 abs-max reduction pass — the
+    dominant non-MXU cost of the dynamic w8a8 path (ROADMAP: measured
+    ~half the gap between the int8 scan and its quant-traffic-free
+    bound)."""
+    import jax as _jax
+
+    @_jax.jit
+    def one(x, t):
+        _, var = model.apply({"params": params}, x, t, mutable=["calib"])
+        return var["calib"]
+
+    acc = None
+    for x, t in zip(xs, ts):
+        c = one(jnp.asarray(x), jnp.asarray(t))
+        acc = c if acc is None else _jax.tree_util.tree_map(
+            jnp.maximum, acc, c)
+    return _jax.tree_util.tree_map(
+        lambda a: (a * margin).astype(jnp.float32), acc)

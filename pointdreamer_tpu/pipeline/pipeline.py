@@ -94,9 +94,10 @@ class Pipeline:
 
                     mesh = make_mesh(n_dev, tp=1)
                     logger.info(f"DDNM views sharded over {n_dev} devices")
-                inpainter = load_inpainter(cfg.diffusion_checkpoint, logger,
-                                           mesh=mesh,
-                                           quant_int8=cfg.ddnm_quant_int8)
+                inpainter = load_inpainter(
+                    cfg.diffusion_checkpoint, logger, mesh=mesh,
+                    quant_int8=cfg.ddnm_quant_int8,
+                    quant_static=cfg.ddnm_quant_static)
             else:
                 # the reference auto-downloads 256x256_diffusion_uncond.pt
                 # (diffusion.py:447-451); offline without a checkpoint a

@@ -262,6 +262,75 @@ def test_w8a8_ddnm_sampler_fidelity_gate():
     assert np.corrcoef(out_q.ravel(), out_fp.ravel())[0, 1] >= 0.99
 
 
+def test_w8a8_static_scales_exact_when_calibrated_on_same_input():
+    """Wiring check: with margin=1.0 and calibration on the exact same
+    input, the static activation scale equals the dynamic abs-max, so
+    the static-scale forward must be BIT-IDENTICAL to the dynamic one."""
+    from pointdreamer_tpu.models.diffusion.unet import (
+        calibrate_act_scales, quantize_unet_params)
+
+    fp = tiny_unet()
+    params = fp.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)),
+                     jnp.zeros((1,)))["params"]
+    qparams = quantize_unet_params(params)
+    q = tiny_unet(quant=True)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 2 - 1
+    t = jnp.asarray([10.0, 700.0])
+    dyn = np.asarray(q.apply({"params": qparams}, x, t))
+    scales = calibrate_act_scales(q, qparams, [x], [t], margin=1.0)
+    # every quantized site contributed a scale
+    n_leaves = len(jax.tree_util.tree_leaves(scales))
+    assert n_leaves > 5
+    stat = np.asarray(q.apply({"params": qparams, "act_scales": scales},
+                              x, t))
+    np.testing.assert_array_equal(stat, dyn)
+
+
+def test_w8a8_static_scales_fidelity():
+    """End-to-end gate for the static-activation-scale w8a8 path (the
+    default when ddnm_quant_int8 is on): DDNMInpainter(static_calib=True)
+    calibrates on its first call and the sampled result must track the
+    fp sampler as tightly as the dynamic-scale gate above, and stay
+    close to the dynamic-scale quantized result."""
+    from pointdreamer_tpu.models.diffusion.unet import quantize_unet_params
+
+    fp = tiny_unet()
+    params = fp.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)),
+                     jnp.zeros((1,)))["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jnp.sign(
+            jnp.sin(jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape)
+            + 0.1) if p.ndim >= 2 else p, params)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    mask = jnp.asarray((rng.random((2, 16, 16)) < 0.5), jnp.float32)
+    key = jax.random.PRNGKey(1234)
+    out_fp = np.asarray(ddnm_inpaint_batch(fp, params, img, mask, key,
+                                           t_sampling=25))
+    q = tiny_unet(quant=True)
+    qparams = quantize_unet_params(params)
+    out_dyn = np.asarray(ddnm_inpaint_batch(q, qparams, img, mask, key,
+                                            t_sampling=25))
+    inp = DDNMInpainter(q, qparams, t_sampling=25, static_calib=True)
+    out_stat = np.asarray(inp.inpaint(img, mask, key))
+    assert inp._act_scales is not None   # calibration actually ran
+
+    def psnr(a, b):
+        return 10 * np.log10(1.0 / max(float(np.mean((a - b) ** 2)), 1e-12))
+
+    known = np.broadcast_to(np.asarray(mask)[..., None].astype(bool),
+                            out_fp.shape)
+    assert psnr(out_stat[known], out_fp[known]) >= 60.0
+    assert psnr(out_stat, out_fp) >= 28.0
+    assert np.corrcoef(out_stat.ravel(), out_fp.ravel())[0, 1] >= 0.99
+    # static vs dynamic quantization agree closely on the full image
+    assert psnr(out_stat, out_dyn) >= 30.0
+    # the second call reuses the cached scales (no recalibration)
+    cached = inp._act_scales
+    _ = inp.inpaint(img, mask, key)
+    assert inp._act_scales is cached
+
+
 def test_w8a8_quant_output_close_to_fp():
     """w8a8 forward tracks the fp forward on a non-degenerate model: the
     params are randomly initialized (fan-in scaled), so per-channel int8
