@@ -22,11 +22,14 @@ def _enable_persistent_compile_cache():
     """XLA compiles through the tunneled-TPU compile service cost
     30-120 s per big graph; the persistent cache turns every repeat
     compile (fresh processes, batch runs, the driver's bench) into a
-    ~1-3 s deserialization.  Opt out with PD_JAX_CACHE_DIR=off."""
+    ~1-3 s deserialization.  Opt out with PD_JAX_CACHE_DIR=off or
+    PD_JAX_CACHE_DISABLE=1 (the driver's multichip dryrun sets the
+    latter: XLA:CPU AOT reloads log cpu_aot_loader SIGILL warnings even
+    same-machine, and that record must stay loader-noise-free)."""
     import os
 
     cache = os.environ.get("PD_JAX_CACHE_DIR")
-    if cache == "off":
+    if cache == "off" or os.environ.get("PD_JAX_CACHE_DISABLE") == "1":
         return
     if not cache:
         cache = os.path.join(os.path.dirname(os.path.dirname(
@@ -34,6 +37,12 @@ def _enable_persistent_compile_cache():
     try:
         import jax
 
+        # key by host class: XLA:CPU cache entries embed the compile
+        # machine's feature set; a dir shared across host classes serves
+        # mismatched AOT executables (cpu_aot_loader SIGILL risk)
+        from .core.runtime import _machine_fingerprint
+
+        cache = os.path.join(cache, _machine_fingerprint())
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

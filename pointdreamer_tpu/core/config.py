@@ -117,6 +117,15 @@ class PipelineConfig:
     mask_ratio_thresh: float = 0.82
 
     # ---- unproject / NBF (reference configs/default.yaml:54-58) ----------
+    # 'vertex' (default): unified UV atlas via NBF unprojection.
+    # 'face': legacy multi-material export — every face textured directly
+    # from ONE view image (reference recon_one_shape unproject_by='face',
+    # ours_utils.py:1218-1249; pipeline/face_assign.py).  Skips
+    # unwrap/complete/optimize.
+    unproject_by: str = "vertex"
+    # unproject_by='face' only: skip the pixel-count/propagation machinery
+    # and take argmax(normal . view_dir) per face (reference naive_face_view)
+    naive_face_view: bool = False
     edge_dilate_kernels: List[int] = field(default_factory=lambda: [21])
     # The reference's `edge_dilate_kernels*(res//256)` (unproject.py:289)
     # is python list REPETITION — the effective border width stays 21 at

@@ -39,15 +39,25 @@ def _machine_fingerprint() -> str:
 def setup_jax(cache_dir: str | None = None) -> None:
     import jax
 
+    if os.environ.get("PD_JAX_CACHE_DISABLE") == "1":
+        # XLA:CPU AOT reloads log cpu_aot_loader "feature not supported"
+        # errors even on the compile machine (the +prefer-no-gather/-scatter
+        # tuning pseudo-features never appear in the host feature list);
+        # contexts that must have a loader-noise-free record (the driver's
+        # multichip dryrun) disable the persistent cache outright.
+        return
     if "axon" in os.environ.get("JAX_PLATFORMS", ""):
         # the axon remote-compile tunnel hangs when the persistent cache
         # tries to serialize its AOT executables — rely on in-process
         # caching there (bench warms up in-process before timing)
         return
-    cache_dir = cache_dir or os.environ.get(
-        "PD_JAX_CACHE", os.path.expanduser("~/.cache/pointdreamer_jax"))
-    cache_dir = os.path.join(cache_dir, _machine_fingerprint())
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        cache_dir = cache_dir or os.environ.get(
+            "PD_JAX_CACHE", os.path.expanduser("~/.cache/pointdreamer_jax"))
+        cache_dir = os.path.join(cache_dir, _machine_fingerprint())
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return  # read-only/unset HOME: run cold rather than fail
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

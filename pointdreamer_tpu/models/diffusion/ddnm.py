@@ -108,7 +108,11 @@ def ddnm_inpaint_batch(
         if collect_calib:
             et, mut = model.apply(vars_, x, jnp.full((B,), t),
                                   mutable=["calib"])
-            calib = mut["calib"]
+            # flax omits empty collections from the mutable return: a model
+            # with no sown calib (no quantized layers, or static scales
+            # already supplied) yields {} here so the empty-tree fallback
+            # in DDNMInpainter.inpaint() actually executes.
+            calib = dict(mut).get("calib", {})
         else:
             et = model.apply(vars_, x, jnp.full((B,), t))
             calib = None

@@ -520,7 +520,7 @@ def quantize_unet_params(params: Dict, _path=()) -> Dict:
     return out
 
 
-def calibrate_act_scales(model, params, xs, ts, margin: float = 1.25):
+def calibrate_act_scales(model, params, xs, ts, margin: float = 1.1):
     """Static per-tensor activation scales for the w8a8 torso.
 
     Runs the quantized model with DYNAMIC scales over the calibration
@@ -550,5 +550,8 @@ def calibrate_act_scales(model, params, xs, ts, margin: float = 1.25):
         c = one(jnp.asarray(x), jnp.asarray(t))
         acc = c if acc is None else _jax.tree_util.tree_map(
             jnp.maximum, acc, c)
+    if acc is None:
+        raise ValueError("calibrate_act_scales: empty calibration input "
+                         "(xs yielded no batches)")
     return _jax.tree_util.tree_map(
         lambda a: (a * margin).astype(jnp.float32), acc)

@@ -93,8 +93,13 @@ def save_textured_mesh(vertices, uvs, faces, face_uv_idx, atlas_img, mask,
 
     pio.submit_async_io(write_pngs)
     obj_path = os.path.join(models_dir, f"{name}.obj")
-    pio.save_textured_obj(np.asarray(vertices), np.asarray(uvs),
-                          np.asarray(faces), np.asarray(face_uv_idx),
-                          obj_path)
-    pio.flush_async_io()           # the PNGs are part of the deliverable
+    try:
+        pio.save_textured_obj(np.asarray(vertices), np.asarray(uvs),
+                              np.asarray(faces), np.asarray(face_uv_idx),
+                              obj_path)
+    finally:
+        # the PNGs are part of the deliverable; flushing on the error path
+        # too keeps a failed OBJ build from leaking pending futures into an
+        # unrelated later flush_async_io() call
+        pio.flush_async_io()
     return obj_path

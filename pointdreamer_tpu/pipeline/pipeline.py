@@ -220,7 +220,9 @@ class Pipeline:
             np.savez(unwrap_cache, uvs=uv, face_uv_idx=fuv)
             return uv, fuv
 
-        unwrap_future = pio._async_executor().submit(_unwrap_host)
+        face_mode = cfg.unproject_by == "face"
+        if not face_mode:   # the face path needs no UV atlas
+            unwrap_future = pio._async_executor().submit(_unwrap_host)
 
         # ---- project + sparse images ----------------------------------
         with timer.stage("project") as tbox:
@@ -288,6 +290,35 @@ class Pipeline:
                     cfg.texture_gen_method, self.inpainter)
                 pio.save_rgb_stack_async(inpainted, cached)
             tbox["out"] = inpainted
+
+        # ---- face-mode unprojection (unproject_by='face') ---------------
+        if face_mode:
+            from . import face_assign as pface
+
+            with timer.stage("unproject") as tbox:
+                neighbors = pface.face_adjacency_neighbors(faces)
+                counts = np.asarray(pface.face_view_pixel_counts(
+                    proj.face_idxs, len(faces_p)))[:n_faces]
+                sim = np.asarray(
+                    f_normals[:n_faces] @ self.rig.base_dirs.T)
+                if cfg.naive_face_view:
+                    fv_ids = sim.argmax(axis=1).astype(np.int64)
+                else:
+                    fv_ids = pface.assign_face_views(neighbors, counts, sim)
+                f_uvs = pface.face_corner_uvs(
+                    self.rig, verts_p, faces, proj.uv_centers,
+                    proj.uv_scales, proj.padding, scale_factors,
+                    fv_ids)
+                tbox["out"] = fv_ids
+            with timer.stage("export"):
+                obj_path = pexport.save_multi_material_obj(
+                    verts, faces, fv_ids, f_uvs,
+                    np.asarray(inpainted),
+                    os.path.join(out_root, "models"))
+                pio.flush_async_io()
+            if log:
+                log.info("stage timings:\n" + timer.report())
+            return obj_path
 
         # ---- unwrap result + atlas bake (cached) ------------------------
         with timer.stage("unwrap") as tbox:

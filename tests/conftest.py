@@ -21,7 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 # host's AOT executables, so no cross-machine SIGILL risk.
 from pointdreamer_tpu.core.runtime import setup_jax  # noqa: E402
 
-setup_jax()
+try:
+    setup_jax()
+except Exception:
+    pass  # unwritable HOME etc.: the suite merely runs cold
 
 import numpy as np
 import pytest

@@ -213,6 +213,138 @@ def load_oracles():
     return ns
 
 
+def load_face_assign_oracle():
+    """The `unproject_by='face'` assignment machinery, verbatim
+    (ours_utils.py:659-846): create_neighbors_tensor, per-face-per-view
+    pixel counts, visible-face assignment by masked normal similarity,
+    neighbor label propagation + smoothing, and the per-corner uv gather."""
+    ns = {"torch": torch, "np": np, "print": lambda *a, **k: None}
+    exec(_extract("pointdreamer/ours_utils.py",
+                  ["create_neighbors_tensor", "get_face_view_pixel_num",
+                   "assign_labels_to_invalid_by_most_neighbors",
+                   "smooth_labels_by_neighbors", "assign_face_view",
+                   "get_face_vertice_uvs"]), ns)
+    return ns
+
+
+def load_subdivide_oracle():
+    """utils/mesh_utils.py:7-114 subdivide_with_uv verbatim, with two
+    documented shims for the (uninstalled) trimesh helpers it imports:
+      * faces_to_edges  -> faces[:, [0,1,1,2,2,0]].reshape(-1,2)
+        (trimesh.geometry.faces_to_edges's exact construction)
+      * grouping.unique_rows -> np.unique(axis=0, return_index/inverse)
+        (same (unique_indices, inverse) contract; unique ordering is
+        lexicographic instead of hash-sorted, which only permutes the
+        new-vertex numbering, not the produced geometry)"""
+    import types
+
+    def faces_to_edges(faces):
+        return np.asarray(faces)[:, [0, 1, 1, 2, 2, 0]].reshape((-1, 2))
+
+    def unique_rows(data, **kw):
+        _, unique, inverse = np.unique(np.asarray(data), axis=0,
+                                       return_index=True,
+                                       return_inverse=True)
+        return unique, inverse.reshape(-1)
+
+    grouping = types.SimpleNamespace(unique_rows=unique_rows)
+    ns = {"torch": torch, "np": np, "faces_to_edges": faces_to_edges,
+          "grouping": grouping}
+    exec(_extract("utils/mesh_utils.py", ["subdivide_with_uv"]), ns)
+    return ns
+
+
+class _UniformLaplacian:
+    """kaolin.ops.mesh.uniform_laplacian shim: sparse [V,V] with
+    L[i,j] = 1/deg(i) for every edge-neighbor j and L[i,i] = -1 —
+    kaolin's documented semantics (the reference adds the identity, so
+    only the off-diagonal row-normalized adjacency survives)."""
+
+    @staticmethod
+    def uniform_laplacian(V, faces):
+        f = faces.long()
+        e = torch.cat([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], dim=0)
+        e = torch.cat([e, e.flip(1)], dim=0)
+        e = torch.unique(e, dim=0)
+        deg = torch.zeros(V).index_add_(0, e[:, 0],
+                                        torch.ones(len(e)))
+        vals = 1.0 / deg.clamp(min=1)[e[:, 0]]
+        idx = torch.cat([e.t(), torch.arange(V).repeat(2, 1)], dim=1)
+        v = torch.cat([vals, -torch.ones(V)])
+        return torch.sparse_coo_tensor(idx, v, size=(V, V)).coalesce()
+
+
+class _KalMesh:
+    class ops:
+        mesh = _UniformLaplacian
+
+
+def load_paint_invisible_oracle():
+    """pointdreamer/unproject.py:93-196 paint_invisible_areas_by_neighbors
+    + compute_vertex_only_uv_mask verbatim, with the subdivide oracle's
+    trimesh shims, the uniform-laplacian shim above, a no-op tqdm, and
+    the reference's own naive_inpainting (ours_utils.py)."""
+    import sys
+    import types
+
+    sub = load_subdivide_oracle()
+    if "tqdm" not in sys.modules:
+        mod = types.ModuleType("tqdm")
+
+        class _T:
+            def __init__(self, *a, **k):
+                pass
+
+            def update(self, *a):
+                pass
+
+        mod.tqdm = _T
+        sys.modules["tqdm"] = mod
+    ns = {"torch": torch, "np": np, "kal": _KalMesh,
+          "subdivide_with_uv": sub["subdivide_with_uv"],
+          "griddata": griddata, "cv2": None,
+          "print": lambda *a, **k: None}
+    exec(_extract("pointdreamer/ours_utils.py", ["naive_inpainting"]), ns)
+    exec(_extract("pointdreamer/unproject.py",
+                  ["paint_invisible_areas_by_neighbors",
+                   "compute_vertex_only_uv_mask"]), ns)
+    return ns
+
+
+def load_laplacian_diffusion_oracle():
+    """JUST the Unique3D-style Laplacian color-diffusion loop, verbatim
+    from paint_invisible_areas_by_neighbors (unproject.py:142-180): grow
+    colors from the valid set across mesh edges until saturation, then
+    smooth for as many extra rounds as growth took.  Call as
+      ns['diffuse'](subdevided_vert_colors, valid_index,
+                    subdivided_faces, device) -> colors
+    (uniform_laplacian + tqdm shimmed as in load_paint_invisible_oracle)."""
+    import sys
+    import types
+
+    if "tqdm" not in sys.modules:
+        mod = types.ModuleType("tqdm")
+
+        class _T:
+            def __init__(self, *a, **k):
+                pass
+
+            def update(self, *a):
+                pass
+
+        mod.tqdm = _T
+        sys.modules["tqdm"] = mod
+    ns = {"torch": torch, "np": np, "kal": _KalMesh,
+          "print": lambda *a, **k: None}
+    exec(_extract_stmt_range(
+        "pointdreamer/unproject.py", "paint_invisible_areas_by_neighbors",
+        142, 180,
+        ["subdevided_vert_colors", "valid_index", "subdivided_faces",
+         "device"],
+        ["colors"], "diffuse"), ns)
+    return ns
+
+
 class _TorchProxy:
     """`torch` stand-in whose randn/randn_like pop from a pre-generated
     noise sequence — lets the oracle and the jax sampler consume the SAME

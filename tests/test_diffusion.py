@@ -329,6 +329,46 @@ def test_w8a8_static_scales_fidelity():
     cached = inp._act_scales
     _ = inp.inpaint(img, mask, key)
     assert inp._act_scales is cached
+    # production pattern: calibrate on the FIRST shape, reuse on all later
+    # ones — a second, different image/mask/key must clear the same gates
+    # on the reused scales (the 1.1x margin absorbs content drift;
+    # out-of-range activations saturate at +-127)
+    rng2 = np.random.default_rng(11)
+    img2 = jnp.asarray(rng2.random((2, 16, 16, 3)), jnp.float32)
+    mask2 = jnp.asarray((rng2.random((2, 16, 16)) < 0.4), jnp.float32)
+    key2 = jax.random.PRNGKey(99)
+    out_fp2 = np.asarray(ddnm_inpaint_batch(fp, params, img2, mask2, key2,
+                                            t_sampling=25))
+    out_dyn2 = np.asarray(ddnm_inpaint_batch(q, qparams, img2, mask2, key2,
+                                             t_sampling=25))
+    out_stat2 = np.asarray(inp.inpaint(img2, mask2, key2))
+    assert inp._act_scales is cached          # still no recalibration
+    known2 = np.broadcast_to(np.asarray(mask2)[..., None].astype(bool),
+                             out_fp2.shape)
+    assert psnr(out_stat2[known2], out_fp2[known2]) >= 60.0
+    assert psnr(out_stat2, out_fp2) >= 28.0
+    assert np.corrcoef(out_stat2.ravel(), out_fp2.ravel())[0, 1] >= 0.99
+    assert psnr(out_stat2, out_dyn2) >= 30.0
+
+
+def test_static_calib_degrades_on_unquantized_model():
+    """DDNMInpainter(static_calib=True) over a model with NO quantized
+    layers must degrade to the plain fp path (flax omits empty collections
+    from the mutable return; the empty-calib fallback must execute rather
+    than KeyError at trace time)."""
+    fp = tiny_unet()
+    params = fp.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)),
+                     jnp.zeros((1,)))["params"]
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+    mask = jnp.asarray((rng.random((1, 16, 16)) < 0.5), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    inp = DDNMInpainter(fp, params, t_sampling=5, static_calib=True)
+    out = np.asarray(inp.inpaint(img, mask, key))
+    assert inp.static_calib is False and inp._act_scales is None
+    ref = np.asarray(ddnm_inpaint_batch(fp, params, img, mask, key,
+                                        t_sampling=5))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
 def test_w8a8_quant_output_close_to_fp():

@@ -379,3 +379,62 @@ def test_end_to_end_gt_views(tmp_path, demo_ply):
     assert both.mean() > 0.2
     err = np.abs(a1[both] - a2[both]).mean()
     assert err < 0.1, f"GT-view atlas diverges: mean err {err}"
+
+
+def test_end_to_end_face_mode(tmp_path, demo_ply):
+    """unproject_by='face' (legacy multi-material path,
+    ours_utils.py:1218-1249): every face is assigned to one view and
+    textured from that view's image directly — verify the written
+    multi-material OBJ resolves to approximately the cube's
+    position-coded colors."""
+    cfg = PipelineConfig(
+        output_path=str(tmp_path / "out"), texture_gen_method="nearest",
+        geo_from="hoppe", grid_res=48, target_face_num=2000, cam_res=128,
+        res=64, view_num=8, unproject_by="face",
+        point_validation_by_o3d=True, save_input_pc=False)
+    pipe = Pipeline.create(cfg)
+    obj = pipe.recon_one_textured_mesh(demo_ply)
+    assert os.path.exists(obj)
+    mdir = os.path.dirname(obj)
+    # one texture png per view
+    for i in range(8):
+        assert os.path.exists(os.path.join(mdir, f"{i}.png"))
+
+    # parse the multi-material OBJ
+    verts, vts, tris, tri_uv, tri_mat = [], [], [], [], []
+    mat = -1
+    for line in open(obj):
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "v":
+            verts.append([float(x) for x in t[1:4]])
+        elif t[0] == "vt":
+            vts.append([float(x) for x in t[1:3]])
+        elif t[0] == "usemtl":
+            mat = int(t[1].split("_")[1])
+        elif t[0] == "f":
+            a = [p.split("/") for p in t[1:4]]
+            tris.append([int(p[0]) - 1 for p in a])
+            tri_uv.append([int(p[1]) - 1 for p in a])
+            tri_mat.append(mat)
+    verts = np.array(verts)
+    vts = np.array(vts)
+    tris = np.array(tris)
+    tri_uv = np.array(tri_uv)
+    tri_mat = np.array(tri_mat)
+    assert (tri_mat >= 0).all() and len(tris) > 500
+    assert len(np.unique(tri_mat)) >= 2      # multiple materials used
+
+    imgs = [pio.load_rgb(os.path.join(mdir, f"{i}.png"))[::-1]
+            for i in range(8)]               # undo the v-flip
+    res = imgs[0].shape[0]
+    cent_uv = vts[tri_uv].mean(1)            # [F,2] (u, 1-v_img)
+    cent_pos = verts[tris].mean(1)
+    pix_c = np.clip((cent_uv[:, 0] * res).astype(int), 0, res - 1)
+    pix_r = np.clip(((1.0 - cent_uv[:, 1]) * res).astype(int), 0, res - 1)
+    got = np.stack([imgs[m][r, c]
+                    for m, r, c in zip(tri_mat, pix_r, pix_c)])
+    want = np.clip(cent_pos + 0.5, 0, 1)
+    err = np.abs(got - want).mean()
+    assert err < 0.25, f"mean face-texture error {err}"

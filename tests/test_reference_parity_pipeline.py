@@ -461,3 +461,147 @@ def test_point_visibility_by_depth_matches_reference(oracle):
         jnp.asarray(uvs * 2.0 - 1.0), jnp.asarray(pd),
         jnp.asarray(mesh_depth), offset=offset))
     np.testing.assert_array_equal(mine, ref_vis.numpy())
+
+
+# ---------------------------------------------------------------------------
+# 8. face-view assignment (unproject_by='face'), subdivide, Laplacian diffusion
+# ---------------------------------------------------------------------------
+
+def _cube_mesh(subdiv=1):
+    """A closed 12-triangle cube, optionally 1->4 subdivided (welded)."""
+    from pointdreamer_tpu.ops import subdivide as osub
+
+    v = np.array([[x, y, z] for x in (0.0, 1.0) for y in (0.0, 1.0)
+                  for z in (0.0, 1.0)])
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]])
+    uvs = np.random.default_rng(0).random((3 * len(f), 2))
+    fuv = np.arange(3 * len(f)).reshape(-1, 3)
+    for _ in range(subdiv):
+        v, f, uvs, fuv = osub.subdivide_with_uv(
+            v, f, fuv, uvs, np.arange(len(f)))
+    return v, f, uvs, fuv
+
+
+def test_face_view_assignment_matches_reference():
+    """assign_face_view + create_neighbors_tensor + per-face-per-view
+    pixel counts vs the extracted reference (ours_utils.py:659-846):
+    same neighbor sets, same pixel counts, and the EXACT same per-face
+    view id after visible assignment, neighbor propagation to
+    convergence, and 3 smoothing passes."""
+    import torch
+
+    from pointdreamer_tpu.pipeline import face_assign as pface
+    from reference_oracle import load_face_assign_oracle
+
+    ora = load_face_assign_oracle()
+    rng = np.random.default_rng(7)
+    _, faces, _, _ = _cube_mesh(subdiv=1)           # 48 faces, manifold
+    F = len(faces)
+    V, res = 4, 24
+
+    # rasterized face ids: half the faces never appear (invisible)
+    hidden = rng.choice(F, F // 2, replace=False)
+    vis_pool = np.setdiff1d(np.arange(F), hidden)
+    face_idxs = np.where(
+        rng.random((V, res, res)) < 0.3,
+        rng.choice(vis_pool, (V, res, res)), -1).astype(np.int32)
+    similarity = rng.standard_normal((F, V))
+
+    neighbors = pface.face_adjacency_neighbors(faces)
+    # reference neighbors from the same adjacency pairs
+    pairs = np.array([[i, j] for i in range(F)
+                      for j in neighbors[i] if j > i])
+    ref_nb = ora["create_neighbors_tensor"](
+        F, torch.from_numpy(pairs).long()).numpy()
+    for i in range(F):
+        assert (set(neighbors[i]) - {-1}
+                == set(ref_nb[i].tolist()) - {-1}), i
+
+    counts = np.asarray(pface.face_view_pixel_counts(
+        jnp.asarray(face_idxs), F))
+    ref_counts = ora["get_face_view_pixel_num"](
+        torch.from_numpy(face_idxs).long(), cam_num=V,
+        face_num=F).numpy()
+    np.testing.assert_array_equal(counts, ref_counts.T.astype(counts.dtype))
+
+    mine = pface.assign_face_views(neighbors, counts, similarity)
+    ref = ora["assign_face_view"](
+        torch.zeros((F, 3)).long(), torch.from_numpy(ref_nb).long(),
+        torch.from_numpy(face_idxs).long(),
+        torch.from_numpy(similarity.copy()), view_num=V).numpy()
+    np.testing.assert_array_equal(mine, ref)
+
+    # per-corner uv gather parity (get_face_vertice_uvs)
+    nv = faces.max() + 1
+    vuv = rng.random((V, nv, 2)).astype(np.float32)
+    ref_uv = ora["get_face_vertice_uvs"](
+        torch.from_numpy(faces).long(), torch.from_numpy(ref).long(),
+        torch.from_numpy(vuv), view_num=V).numpy()
+    fv = np.where(ref < 0, 0, ref)
+    mine_uv = vuv[fv[:, None], faces]
+    np.testing.assert_allclose(mine_uv, ref_uv, atol=1e-7)
+
+
+def test_subdivide_with_uv_matches_reference():
+    """ops/subdivide.py vs the verbatim reference subdivide_with_uv
+    (utils/mesh_utils.py:7-114): identical triangle soup — every face's
+    3 corners carry the same (xyz, uv) — under partial subdivision."""
+    from pointdreamer_tpu.ops import subdivide as osub
+    from reference_oracle import load_subdivide_oracle
+
+    ora = load_subdivide_oracle()
+    v, f, uvs, fuv = _cube_mesh(subdiv=1)
+    sel = np.array([1, 5, 6, 17, 30, 31])
+
+    rv, rf, ruv, rfuv = ora["subdivide_with_uv"](v, f, fuv, uvs,
+                                                 face_index=sel)
+    mv, mf, muv, mfuv = osub.subdivide_with_uv(v, f, fuv, uvs, sel)
+
+    def soup(verts, faces, u, fu):
+        corners = np.concatenate(
+            [verts[faces], u[fu]], axis=-1)             # [F,3,5]
+        # canonicalize corner order within each face, then sort faces
+        key = np.round(corners, 6)
+        order = np.lexsort(key.reshape(len(faces), 3, -1)
+                           .transpose(2, 0, 1)[::-1])
+        c = np.take_along_axis(corners, order[..., None], axis=1)
+        flat = np.round(c.reshape(len(faces), -1), 6)
+        return flat[np.lexsort(flat.T[::-1])]
+
+    assert len(rf) == len(mf)
+    np.testing.assert_allclose(soup(rv, rf, ruv, rfuv),
+                               soup(mv, mf, muv, mfuv), atol=1e-6)
+
+
+def test_laplacian_diffusion_matches_reference():
+    """_diffuse_vertex_colors vs the verbatim reference diffusion loop
+    (unproject.py:142-180, Unique3D-style): grow-then-smooth with the
+    same round counts — exact agreement up to float associativity."""
+    import torch
+
+    from pointdreamer_tpu.pipeline.complete import _diffuse_vertex_colors
+    from reference_oracle import load_laplacian_diffusion_oracle
+
+    ora = load_laplacian_diffusion_oracle()
+    rng = np.random.default_rng(3)
+    v, f, _, _ = _cube_mesh(subdiv=2)               # 98 verts, 192 faces
+    nv = int(f.max()) + 1
+    colors = rng.random((nv, 3)).astype(np.float32)
+    valid = np.zeros(nv, bool)
+    valid[rng.choice(nv, 7, replace=False)] = True  # sparse seeds
+
+    ref = ora["diffuse"](
+        torch.from_numpy(colors.copy()),
+        torch.from_numpy(np.nonzero(valid)[0]),
+        torch.from_numpy(f).long(), torch.device("cpu"))[0].numpy()
+
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], 0)
+    edges = np.concatenate([edges, edges[:, ::-1]], 0)
+    mine, colored = _diffuse_vertex_colors(
+        jnp.asarray(colors), jnp.asarray(valid.astype(np.float32)),
+        jnp.asarray(edges[:, 0]), jnp.asarray(edges[:, 1]),
+        invalid_idx_mask=jnp.asarray(~valid))
+    assert np.asarray(colored).min() == 1.0         # everything colored
+    np.testing.assert_allclose(np.asarray(mine), ref, atol=2e-4)
