@@ -64,7 +64,8 @@ def time_leg(cfg, out_dir, repeats=1):
     return runs, pipe
 
 
-def time_throughput(cfg, out_dir, plys, pipe, concurrency=2):
+def time_throughput(cfg, out_dir, plys, pipe,
+                    concurrency=int(os.environ.get("PD_BENCH_CONC", "2"))):
     """Steady-state dataset throughput: REUSE the leg's Pipeline so the
     measurement excludes model init / weight quantization (setup, not
     throughput — round 3 re-created the Pipeline inside the timed window

@@ -106,9 +106,24 @@ def main(argv=None):
     calib_imgs, calib_masks = _sparse_views(cfg, args.calib_pc)
     print(f"sparse views ready ({time.time()-t0:.1f}s)", flush=True)
 
-    # flagship bf16 inpainter (random weights, seeded) + int8 twins
+    # flagship bf16 inpainter (random weights, seeded) + int8 twins.
+    # guided-diffusion ZERO-initializes the final out conv (and every
+    # block's out projection): with untouched random init eps==0 and all
+    # samplers are bit-identical — a vacuous comparison (the first run of
+    # this tool measured PSNR 120 everywhere).  Perturb every matrix
+    # leaf deterministically (the tiny-UNet gates' recipe) so signal
+    # flows through all 552M params.
     inp = load_inpainter(None, logger=None, quant_int8=False)
-    model_fp, params_fp = inp.model, inp.params
+    model_fp = inp.model
+
+    def _perturb(p):
+        if p.ndim < 2:
+            return p
+        wave = jnp.sign(jnp.sin(
+            jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape) + 0.1)
+        return (p.astype(jnp.float32) + 0.02 * wave).astype(p.dtype)
+
+    params_fp = jax.tree_util.tree_map(_perturb, inp.params)
     key = jax.random.PRNGKey(args.seed)
 
     out_fp = np.asarray(ddnm_inpaint_batch(
@@ -167,6 +182,9 @@ def main(argv=None):
         "device": str(jax.devices()[0]),
         "wall_sec": round(time.time() - t0, 1),
     }
+    assert res["int8_dynamic"]["psnr_vs_bf16"] < 119.0, (
+        "int8 and bf16 samplers bit-identical — the comparison is "
+        "vacuous (zero-init out convs?)")
     ok = (res["int8_static"]["psnr_vs_bf16"] >= 28.0
           and res["int8_static"]["corr"] >= 0.99)
     res["gates_pass"] = bool(ok)
