@@ -36,6 +36,12 @@ def _sparse_views(cfg, pc_file):
 
     from ..core.camera import make_camera_rig
 
+    cache = os.path.join("/tmp", "pd_w8a8_views_"
+                         + os.path.basename(pc_file) + f"_{cfg.res}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["imgs"], z["masks"]
+
     rig = make_camera_rig(cfg.view_num, cfg.cam_distance, cfg.cam_res,
                           cfg.cam_fov_deg, cfg.camera_distribution)
 
@@ -65,8 +71,10 @@ def _sparse_views(cfg, pc_file):
     sparse = pproject.make_sparse_images(
         proj, jnp.asarray(colors_p), cfg.res, cfg.point_size,
         cfg.edge_point_size, cfg.mask_ratio_thresh)
-    return (np.asarray(sparse.sparse_imgs),
-            np.asarray(sparse.hard_mask0).astype(np.float32))
+    out = (np.asarray(sparse.sparse_imgs),
+           np.asarray(sparse.hard_mask0).astype(np.float32))
+    np.savez(cache, imgs=out[0], masks=out[1])
+    return out
 
 
 def psnr(a, b):
@@ -85,6 +93,14 @@ def main(argv=None):
     ap.add_argument("--out", default="docs/w8a8_flagship_fidelity_r05.json")
     ap.add_argument("--t_sampling", type=int, default=100)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--fp32_floor", action="store_true",
+                    help="also run an fp32 sampler and record the bf16 "
+                         "sampler's own divergence from it — the "
+                         "precision noise floor that contextualizes the "
+                         "int8 numbers (the 100-step loop compounds "
+                         "per-step rounding into trajectory divergence)")
+    ap.add_argument("--calib_margin", type=float, default=None,
+                    help="override DDNMInpainter's static-scale margin")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("PD_ALLOW_RANDOM_DIFFUSION", "1")
@@ -113,6 +129,9 @@ def main(argv=None):
     # this tool measured PSNR 120 everywhere).  Perturb every matrix
     # leaf deterministically (the tiny-UNet gates' recipe) so signal
     # flows through all 552M params.
+    from ..models.diffusion import DDNMInpainter
+    from ..models.diffusion.unet import imagenet256_unet
+
     inp = load_inpainter(None, logger=None, quant_int8=False)
     model_fp = inp.model
 
@@ -131,8 +150,21 @@ def main(argv=None):
         t_sampling=args.t_sampling))
     print(f"bf16 sampler done ({time.time()-t0:.1f}s)", flush=True)
 
-    from ..models.diffusion import DDNMInpainter
-    from ..models.diffusion.unet import imagenet256_unet
+    floor = None
+    if args.fp32_floor:
+        out_32 = np.asarray(ddnm_inpaint_batch(
+            imagenet256_unet(dtype=jnp.float32), params_fp,
+            jnp.asarray(imgs), jnp.asarray(masks), key,
+            t_sampling=args.t_sampling))
+        floor = {
+            "bf16_psnr_vs_fp32": round(psnr(out_fp, out_32), 2),
+            "bf16_corr_vs_fp32": round(float(np.corrcoef(
+                out_fp.ravel(), out_32.ravel())[0, 1]), 5),
+            "per_view_psnr": [round(psnr(out_fp[i], out_32[i]), 2)
+                              for i in range(len(imgs))],
+        }
+        print(f"fp32 floor done ({time.time()-t0:.1f}s): "
+              f"{floor['bf16_psnr_vs_fp32']} dB", flush=True)
 
     qmodel = imagenet256_unet(quant=True)
     qparams = quantize_unet_params(params_fp)
@@ -144,6 +176,8 @@ def main(argv=None):
 
     stat = DDNMInpainter(qmodel, qparams, t_sampling=args.t_sampling,
                          seed=args.seed, static_calib=True)
+    if args.calib_margin:
+        stat.calib_margin = args.calib_margin
     stat.inpaint(jnp.asarray(calib_imgs), jnp.asarray(calib_masks),
                  key)                       # calibrate on the OTHER shape
     out_stat = np.asarray(stat.inpaint(jnp.asarray(imgs),
@@ -178,6 +212,8 @@ def main(argv=None):
                               for i in range(len(imgs))],
             "psnr_vs_dynamic": round(psnr(out_stat, out_dyn), 2),
         },
+        "fp32_floor": floor,
+        "calib_margin": stat.calib_margin,
         "gates": {"full_image_min_db": 28.0, "corr_min": 0.99},
         "device": str(jax.devices()[0]),
         "wall_sec": round(time.time() - t0, 1),
