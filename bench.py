@@ -6,10 +6,11 @@ Legs, all full resolutions (8 views @ 512^2, inpaint 256^2, atlas
   1. FLAGSHIP (headline): the full-diffusion pipeline — reference
      configs/default.yaml semantics with texture_gen_method DDNM_inpaint
      (100-step x 8-view DDNM denoise over the 552M-param guided-diffusion
-     UNet) with the shipped w8a8-static torso (default.yaml
-     ddnm_quant_int8, fidelity-gated: known region exact, >=28 dB vs the
-     bf16 sampler — tests/test_diffusion.py w8a8 gates,
-     docs/w8a8_flagship_fidelity_r05.json).  The reference spends ~90% of
+     UNet) in bf16, the shipped default.  (w8a8 was the round-5
+     candidate headline, but the on-device 552M record
+     docs/w8a8_flagship_fidelity_r05.json measures the int8 sampler
+     22.7 dB from bf16 against a 38.1 dB bf16-vs-fp32 precision floor,
+     so int8 stays an opt-in detail leg.)  The reference spends ~90% of
      its ~60 s/shape (A100) here (Readme.md:24, diffusion.py:459-570), so
      this is the apples-to-apples number.  No pretrained checkpoint ships
      with the reference, so the UNet runs with random weights
@@ -19,7 +20,8 @@ Legs, all full resolutions (8 views @ 512^2, inpaint 256^2, atlas
      caches cleared between runs; `value` is the MEDIAN and min/max ride
      in `detail` so single-run tunnel/host variance stops moving the
      round artifact (round-4 lesson: one-shot timing swung ~1.7 s).
-  2. bf16 reference-exact leg (ddnm_quant_int8 off), in `detail`.
+  2. w8a8 torso leg (ddnm_quant_int8 on; approximate quality, see
+     above), in `detail`.
   3. nearest-fill path (reference configs/nearest.yaml, no neural nets),
      in `detail` — the round-1/2 headline, kept for trend.
 
@@ -30,8 +32,6 @@ the flagship median.
 import json
 import os
 import shutil
-import statistics
-import sys
 import time
 
 os.environ.setdefault("PD_ALLOW_RANDOM_DIFFUSION", "1")
@@ -90,17 +90,17 @@ def main():
     cfg_dir = os.path.join(os.path.dirname(__file__) or ".", "configs")
     repeats = int(os.environ.get("PD_BENCH_REPEATS", "3"))
 
-    # ---- leg 1: flagship full-diffusion w8a8-static (default.yaml) -----
+    # ---- leg 1: flagship full-diffusion bf16 (default.yaml) ------------
     cfg = load_config(os.path.join(cfg_dir, "default.yaml"))
     cfg.output_path = out_dir
     cfg.geo_from = "SPR"  # no POCO checkpoint ships with the reference
     cfg.save_input_pc = False
-    assert cfg.ddnm_quant_int8, "default.yaml ships the gated w8a8 path"
+    assert not cfg.ddnm_quant_int8, "default.yaml ships the bf16 path"
     runs, pipe = time_leg(cfg, out_dir, repeats=repeats)
     times = [r[0] for r in runs]
     med_sec, med_timer = runs[len(runs) // 2]
     detail = {
-        "quant": "w8a8-static",
+        "quant": "bf16",
         "runs_sec": [round(t, 3) for t in times],
         "run_min_sec": round(times[0], 3),
         "run_max_sec": round(times[-1], 3),
@@ -137,22 +137,22 @@ def main():
         detail["throughput_sec_per_shape"] = round(sec, 3)
         detail["throughput_shapes_ok"] = ok
 
-    # ---- leg 1a: reference-exact bf16 torso (ddnm_quant_int8 off) ------
-    if os.environ.get("PD_BENCH_SKIP_BF16") != "1" and have_time():
-        cfg.ddnm_quant_int8 = False
-        bf16_runs, bf16_pipe = time_leg(cfg, out_dir,
-                                        repeats=min(repeats, 3))
-        bt = [r[0] for r in bf16_runs]
-        detail["bf16_sec_per_shape"] = round(bt[len(bt) // 2], 3)
-        detail["bf16_runs_sec"] = [round(t, 3) for t in bt]
-        detail["bf16_inpaint"] = round(
-            bf16_runs[len(bt) // 2][1].times.get("inpaint", 0), 3)
-        if os.environ.get("PD_BENCH_SKIP_TPUT") != "1" and have_time():
-            sec, ok = time_throughput(cfg, out_dir, plys, bf16_pipe)
-            detail["bf16_throughput_sec_per_shape"] = round(sec, 3)
-            detail["bf16_throughput_shapes_ok"] = ok
+    # ---- leg 1a: w8a8 torso (ddnm_quant_int8 on; approximate) ----------
+    if os.environ.get("PD_BENCH_SKIP_INT8") != "1" and have_time():
         cfg.ddnm_quant_int8 = True
-        del bf16_pipe
+        int8_runs, int8_pipe = time_leg(cfg, out_dir,
+                                        repeats=min(repeats, 3))
+        it = [r[0] for r in int8_runs]
+        detail["int8_sec_per_shape"] = round(it[len(it) // 2], 3)
+        detail["int8_runs_sec"] = [round(t, 3) for t in it]
+        detail["int8_inpaint"] = round(
+            int8_runs[len(it) // 2][1].times.get("inpaint", 0), 3)
+        if os.environ.get("PD_BENCH_SKIP_TPUT") != "1" and have_time():
+            sec, ok = time_throughput(cfg, out_dir, plys, int8_pipe)
+            detail["int8_throughput_sec_per_shape"] = round(sec, 3)
+            detail["int8_throughput_shapes_ok"] = ok
+        cfg.ddnm_quant_int8 = False
+        del int8_pipe
     if not have_time():
         detail["optional_legs_skipped_at_budget_s"] = budget
 

@@ -181,7 +181,10 @@ class DDNMInpainter:
         # later call — scales depend on the weights and the schedule, not
         # the shape being textured.  False = dynamic per-call scales.
         self.static_calib = bool(static_calib)
-        self.calib_margin = 1.1
+        # 1.1 saturated at flagship scale under cross-shape calibration
+        # (one view at 9.5 dB); 1.3 removes it and matches dynamic-scale
+        # fidelity there (docs/w8a8_flagship_fidelity_r05{,_margin13}.json)
+        self.calib_margin = 1.3
         self._act_scales = None
         if mesh is not None:
             from ...parallel.mesh import shard_params_dp_tp

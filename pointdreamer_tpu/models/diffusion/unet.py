@@ -520,7 +520,7 @@ def quantize_unet_params(params: Dict, _path=()) -> Dict:
     return out
 
 
-def calibrate_act_scales(model, params, xs, ts, margin: float = 1.1):
+def calibrate_act_scales(model, params, xs, ts, margin: float = 1.3):
     """Static per-tensor activation scales for the w8a8 torso.
 
     Runs the quantized model with DYNAMIC scales over the calibration

@@ -331,7 +331,7 @@ def test_w8a8_static_scales_fidelity():
     assert inp._act_scales is cached
     # production pattern: calibrate on the FIRST shape, reuse on all later
     # ones — a second, different image/mask/key must clear the same gates
-    # on the reused scales (the 1.1x margin absorbs content drift;
+    # on the reused scales (the calib margin absorbs content drift;
     # out-of-range activations saturate at +-127)
     rng2 = np.random.default_rng(11)
     img2 = jnp.asarray(rng2.random((2, 16, 16, 3)), jnp.float32)
