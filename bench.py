@@ -65,7 +65,11 @@ def time_leg(cfg, out_dir, repeats=1):
 
 
 def time_throughput(cfg, out_dir, plys, pipe,
-                    concurrency=int(os.environ.get("PD_BENCH_CONC", "2"))):
+                    concurrency=int(os.environ.get("PD_BENCH_CONC", "4"))):
+    # concurrency default measured round 5 (int8 leg, v5e): 2 -> 10.42,
+    # 3 -> 10.52, 4 -> 10.16 s/shape — the 1-core tunnel host needs a
+    # deeper queue to keep the chip fed while it time-shares the host
+    # singles (HPR hulls, LSCM, QEM, IO) across shapes.
     """Steady-state dataset throughput: REUSE the leg's Pipeline so the
     measurement excludes model init / weight quantization (setup, not
     throughput — round 3 re-created the Pipeline inside the timed window
