@@ -40,6 +40,12 @@ def main(argv=None):
     ap.add_argument("--known-frac", type=float, default=0.35,
                     help="fraction of pixels kept in the masked inputs")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--quant-fidelity", action="store_true",
+                    help="also run the w8a8 samplers over the TRAINED "
+                         "weights and record their PSNR vs the fp "
+                         "sampler (the trained-weights data point of the "
+                         "int8 fidelity story — docs/w8a8_flagship_"
+                         "fidelity_r05.json carries the 552M one)")
     args = ap.parse_args(argv)
 
     import jax
@@ -101,6 +107,31 @@ def main(argv=None):
         inpaint_nearest(masked, masks))
     results["linear(pull-push)"] = psnr_unknown(
         inpaint_linear(masked, masks))
+    if args.quant_fidelity:
+        from ..models.diffusion import DDNMInpainter
+        from ..models.diffusion.unet import quantize_unet_params
+
+        qmodel = model.replace(quant=True)
+        qparams = quantize_unet_params(params)
+        out_dyn = ddnm_inpaint_batch(qmodel, qparams, masked, masks,
+                                     k_ddnm, t_sampling=args.t_sampling)
+        stat = DDNMInpainter(qmodel, qparams,
+                             t_sampling=args.t_sampling,
+                             static_calib=True)
+        out_stat = stat.inpaint(masked, masks, k_ddnm)
+
+        def psnr_full(a, b):
+            mse = float(np.mean((np.asarray(a, np.float64)
+                                 - np.asarray(b, np.float64)) ** 2))
+            return float(10 * np.log10(1.0 / max(mse, 1e-12)))
+
+        results["int8-dynamic PSNR vs fp sampler"] = psnr_full(out_dyn,
+                                                               out)
+        results["int8-static PSNR vs fp sampler"] = psnr_full(out_stat,
+                                                              out)
+        results["DDNM(int8-dynamic)"] = psnr_unknown(out_dyn)
+        results["DDNM(int8-static)"] = psnr_unknown(out_stat)
+
     for k, v in results.items():
         log.info(f"{k}: unknown-region PSNR {v:.2f} dB")
     print(json.dumps({k: round(v, 3) for k, v in results.items()},
