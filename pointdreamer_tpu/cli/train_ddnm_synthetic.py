@@ -111,7 +111,7 @@ def main(argv=None):
         from ..models.diffusion import DDNMInpainter
         from ..models.diffusion.unet import quantize_unet_params
 
-        qmodel = model.replace(quant=True)
+        qmodel = model.clone(quant=True)
         qparams = quantize_unet_params(params)
         out_dyn = ddnm_inpaint_batch(qmodel, qparams, masked, masks,
                                      k_ddnm, t_sampling=args.t_sampling)
