@@ -146,9 +146,75 @@ def orient_normals_mst(points: np.ndarray, normals: np.ndarray,
         parent = parent[parent]
     bit ^= bit[parent]                 # fold in the final parent's bit
     sign = np.where(bit, -1.0, 1.0)
-    if sign[seed] * nrm[seed, 1] < 0:
+    # Global sign: majority vote over the extreme points of all 6 axis
+    # directions (their outward normal must point along that axis).  The
+    # earlier single topmost-point seed was measurably fragile: on the
+    # demo clock it left the WHOLE cloud inverted (98% of HPR-visibility
+    # votes disagreed), which explains both hoppe's and the kernel-field
+    # baseline's clock scores (ROADMAP round-5 record).
+    oriented = nrm * sign[:, None]
+    m = min(20, n)
+    vote = 0.0
+    for axis in range(3):
+        for d in (1.0, -1.0):
+            ext = np.argpartition(d * pts[:, axis], -m)[-m:]
+            vote += float(np.sum(np.sign(oriented[ext, axis] * d)))
+    if vote < 0:
         sign = -sign
     return (nrm * sign[:, None]).astype(np.float32)
+
+
+def refine_orientation_by_visibility(points: np.ndarray,
+                                     normals: np.ndarray,
+                                     n_eyes: int = 12,
+                                     eye_distance: float = 1.6,
+                                     dot_thresh: float = 0.15,
+                                     min_votes: int = 2,
+                                     smooth_iters: int = 3) -> np.ndarray:
+    """Fix LOCAL orientation flips the MST cannot see — concave regions
+    like a cup's inner wall, where sign propagation crosses a thin wall
+    and the whole cavity ends up inverted (measured: 20% of the demo
+    cup's votes disagreed with the MST result while the convex lion had
+    0%).
+
+    A point visible from an eye (hidden-point-removal, the pipeline's
+    own machinery) must have its normal facing that eye.  Each (point,
+    visible-eye) pair with |n . dir| > dot_thresh casts a vote; points
+    with >= min_votes and a majority against their current sign flip.
+    A few kNN majority-smoothing passes then restore local consistency
+    (votes stay authoritative: smoothing only adjusts unvoted points
+    and genuine stragglers)."""
+    from .splat import hidden_point_removal_visibility
+    from ..core.camera import fibonacci_sphere
+
+    pts = np.asarray(points, np.float32)
+    nrm = np.asarray(normals, np.float32).copy()
+    eyes = fibonacci_sphere(n_eyes, eye_distance).astype(np.float32)
+    vis = np.asarray(hidden_point_removal_visibility(pts, eyes, 100))
+    dirs = eyes[:, None, :] - pts[None, :, :]
+    dirs /= np.maximum(np.linalg.norm(dirs, axis=-1, keepdims=True),
+                       1e-12)
+    dot = (nrm[None] * dirs).sum(-1)                       # [V,N]
+    agree = ((dot > dot_thresh) & vis).sum(0)
+    disagree = ((dot < -dot_thresh) & vis).sum(0)
+    voted = (agree + disagree) >= min_votes
+    sgn = np.ones(len(pts), np.float32)
+    sgn[voted & (disagree > agree)] = -1.0
+
+    if smooth_iters:
+        _, idx = map(np.asarray, knn(jnp.asarray(pts), jnp.asarray(pts),
+                                     9))
+        nb = idx[:, 1:]
+        # neighbor j implies sign_i = sgn_j * sign(n_i . n_j), weighted
+        # by |n_i . n_j| — i.e. consensus_i = sum_j (n_i . n_j) * sgn_j
+        w = (nrm[:, None, :] * nrm[nb]).sum(-1)            # [N,8] signed
+        anchored = voted & (np.maximum(agree, disagree)
+                            >= 2 * min_votes)              # confident
+        for _ in range(smooth_iters):
+            consensus = (w * sgn[nb]).sum(1)
+            upd = np.where(consensus != 0, np.sign(consensus), sgn)
+            sgn = np.where(anchored, sgn, upd).astype(np.float32)
+    return nrm * sgn[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("k_pca", "k_mst"))
@@ -166,12 +232,23 @@ def _normals_and_mst_inputs(pj, k_pca: int, k_mst: int):
 
 
 def estimate_oriented_normals(points: np.ndarray, k_pca: int = 16,
-                              k_mst: int = 12) -> np.ndarray:
-    """One shared kNN pass feeds both PCA and the MST graph."""
+                              k_mst: int = 12,
+                              visibility_refine: bool = False
+                              ) -> np.ndarray:
+    """One shared kNN pass feeds both PCA and the MST graph.
+
+    visibility_refine=True additionally runs the HPR vote pass
+    (refine_orientation_by_visibility) that fixes cavity-scale flips the
+    MST cannot see — ~1-3 s of host hulls per 30k cloud, so opt-in:
+    the geometry table, the NKSR baseline and the `hoppe` backend use
+    it; the latency-critical pipeline default leaves it off."""
     pj = jnp.asarray(points, jnp.float32)
     packed = np.asarray(_normals_and_mst_inputs(pj, k_pca, k_mst))
     nrm = packed[:, :3].view(np.float32)
-    return orient_normals_mst(points, nrm, k_mst, knn_idx=packed[:, 3:])
+    out = orient_normals_mst(points, nrm, k_mst, knn_idx=packed[:, 3:])
+    if visibility_refine:
+        out = refine_orientation_by_visibility(points, out)
+    return out
 
 
 # --------------------------------------------------------------------------

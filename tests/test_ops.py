@@ -208,9 +208,50 @@ def test_normal_estimation_sphere():
     est = osdf.estimate_oriented_normals(pts, k_pca=12, k_mst=8)
     cos = np.abs((est * true_n).sum(-1))
     assert np.median(cos) > 0.98
-    # orientation consistency: signed dot mostly same sign
+    # orientation must be consistently OUTWARD, not merely consistent —
+    # the round-4 single-seed sign left the demo clock globally INVERTED
+    # (the 6-axis extreme-point majority in orient_normals_mst fixes it)
     sgn = np.sign((est * true_n).sum(-1))
-    assert abs(sgn.mean()) > 0.95
+    assert sgn.mean() > 0.95
+
+
+def test_normal_orientation_global_vote_box():
+    """An elongated box cloud: every axis-extreme face votes; the global
+    sign must come out outward even though the topmost point sits on an
+    edge-adjacent face where a single-seed heuristic is fragile."""
+    rng = np.random.default_rng(3)
+    n = 3000
+    face = rng.integers(0, 6, n)
+    uv = rng.random((n, 2)) - 0.5
+    ext = np.array([0.2, 0.5, 0.3])
+    pts = np.zeros((n, 3), np.float32)
+    true_n = np.zeros((n, 3), np.float32)
+    for i in range(n):
+        a = face[i] % 3
+        s = 1.0 if face[i] < 3 else -1.0
+        o = [j for j in range(3) if j != a]
+        pts[i, a] = s * ext[a]
+        pts[i, o[0]] = uv[i, 0] * 2 * ext[o[0]]
+        pts[i, o[1]] = uv[i, 1] * 2 * ext[o[1]]
+        true_n[i, a] = s
+    est = osdf.estimate_oriented_normals(pts)
+    sgn = np.sign((est * true_n).sum(-1))
+    assert sgn.mean() > 0.9, sgn.mean()
+
+
+def test_visibility_refine_fixes_flipped_patch():
+    """refine_orientation_by_visibility: flip a contiguous 20% cap of a
+    sphere's normals; HPR sees every point of a sphere, so the vote +
+    kNN smoothing must restore outward orientation nearly everywhere."""
+    pts, true_n = _sphere_cloud(n=3000, seed=4)
+    bad = pts[:, 2] > 0.25                       # a polar cap
+    nrm = np.where(bad[:, None], -true_n, true_n).astype(np.float32)
+    fixed = osdf.refine_orientation_by_visibility(pts, nrm)
+    sgn = np.sign((fixed * true_n).sum(-1))
+    assert sgn.mean() > 0.97, sgn.mean()
+    # and it must not damage an already-correct orientation
+    kept = osdf.refine_orientation_by_visibility(pts, true_n)
+    assert np.sign((kept * true_n).sum(-1)).mean() > 0.97
 
 
 def test_hoppe_sdf_sphere():
