@@ -28,6 +28,20 @@ def test_config_defaults_and_reference_yaml(tmp_path):
     assert cfg.extra == {"something_unknown": 3}
 
 
+def test_shipped_default_is_reference_faithful_bf16():
+    """configs/default.yaml must keep the bf16 DDNM path: the 552M
+    on-device record (docs/w8a8_flagship_fidelity_r05.json) measured the
+    int8 sampler 15 dB below the bf16-vs-fp32 precision floor, so w8a8
+    stays opt-in (README 'Why w8a8 is opt-in')."""
+    import os
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "default.yaml"))
+    assert cfg.texture_gen_method == "DDNM_inpaint"
+    assert cfg.ddnm_quant_int8 is False
+    assert cfg.unproject_by == "vertex"
+
+
 def test_ply_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     xyz = rng.standard_normal((100, 3)).astype(np.float32)
