@@ -57,10 +57,14 @@ class PipelineConfig:
     # artifact, not a geometry one: sphere and full-res are equal)
     iso_method: str = "mc"
     # SPR screening term (Kazhdan & Hoppe 2013) strength for the
-    # 'SPR'/'poisson_fft' backend: 0 = pure spectral solve (best for
-    # evenly sampled scans); 1-4 pins the iso level at the samples —
-    # measurably better on one-sided/nonuniform scans (ops/sdf.py)
-    spr_screen_weight: float = 0.0
+    # 'SPR'/'poisson_fft' backend.  Default 4.0 = the reference's own
+    # semantics (baselines/spr.py runs pymeshlab screened-Poisson, whose
+    # pointweight default is 4) — measured round 5 on the demo clouds:
+    # mean F@0.01 0.843 -> 0.899 (open cup 0.468 -> 0.729, Hausdorff
+    # better on every shape) for +0.17 s of geometry on v5e (16
+    # FFT-preconditioned CG steps).  0 = pure spectral solve, slightly
+    # sharper on closed evenly-sampled scans (clock 0.963 vs 0.924).
+    spr_screen_weight: float = 4.0
 
     # ---- texture generation ---------------------------------------------
     # 'DDNM_inpaint' | 'linear' | 'nearest'

@@ -159,7 +159,9 @@ def reconstruct_mesh(
     smooth_mesh: bool = False,
     refine_iters: int = 10,
     iso_method: str = "mc",
-    screen_weight: float = 0.0,
+    # 4.0 = pymeshlab screened-Poisson pointweight parity (core/config.py
+    # spr_screen_weight has the measured tradeoff)
+    screen_weight: float = 4.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Point cloud (normalized to [-0.5, 0.5]) -> (vertices, faces).
 
