@@ -126,7 +126,11 @@ def main():
     # start, so a cold leg-1 compile eats into it) so a cold run in a
     # time-limited harness still prints the headline JSON; skipped legs
     # are recorded as such.
-    budget = float(os.environ.get("PD_BENCH_BUDGET_S", "1200"))
+    # 2200 s: the median-of-3 x {bf16, int8} x {latency, throughput}
+    # program measured ~21 min warm on v5e; 1200 was the single-run
+    # budget and would drop the int8 legs from the round record on a
+    # cold driver run
+    budget = float(os.environ.get("PD_BENCH_BUDGET_S", "2200"))
 
     def have_time():
         return time.time() - t_start < budget
