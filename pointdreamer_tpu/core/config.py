@@ -57,14 +57,15 @@ class PipelineConfig:
     # artifact, not a geometry one: sphere and full-res are equal)
     iso_method: str = "mc"
     # SPR screening term (Kazhdan & Hoppe 2013) strength for the
-    # 'SPR'/'poisson_fft' backend.  Default 4.0 = the reference's own
-    # semantics (baselines/spr.py runs pymeshlab screened-Poisson, whose
-    # pointweight default is 4) — measured round 5 on the demo clouds:
-    # mean F@0.01 0.843 -> 0.899 (open cup 0.468 -> 0.729, Hausdorff
-    # better on every shape) for +0.17 s of geometry on v5e (16
-    # FFT-preconditioned CG steps).  0 = pure spectral solve, slightly
-    # sharper on closed evenly-sampled scans (clock 0.963 vs 0.924).
-    spr_screen_weight: float = 4.0
+    # 'SPR'/'poisson_fft' backend, the reference's own model class
+    # (baselines/spr.py runs pymeshlab screened-Poisson).  Default 2.0
+    # with 48 CG iters — the round-5 sweep: demo-cloud mean F@0.01
+    # 0.843 (sw=0) -> 0.895 (the open cup 0.468 -> 0.693, Hausdorff
+    # better on every shape, normal-consistency ~0.97) while every
+    # texture self-parity gate stays green (sw=4 scores 0.900 on the
+    # scans but drops the sharp-edged full-res cube gate to 29.2 dB).
+    # Costs ~+0.3 s of geometry on v5e.  0 = pure spectral solve.
+    spr_screen_weight: float = 2.0
 
     # ---- texture generation ---------------------------------------------
     # 'DDNM_inpaint' | 'linear' | 'nearest'

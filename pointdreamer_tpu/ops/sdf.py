@@ -303,7 +303,12 @@ def poisson_indicator_grid(
     res: int = 128,
     smooth_sigma: float = 1.5,
     screen_weight: float = 0.0,
-    screen_iters: int = 16,
+    # 48: measured on a uniform sphere at 96^3 — 16 CG iters leave
+    # convergence ripple (p95 radius err 0.0050 vs 0.00054 unscreened);
+    # at 48 the screened solve BEATS unscreened (0.00031), matching
+    # Kazhdan's behavior.  The sweep: 16->0.0050, 24->0.0038,
+    # 32->0.0027, 40->0.0017, 48->0.0003.
+    screen_iters: int = 48,
 ) -> jnp.ndarray:
     """(Optionally screened) Poisson indicator on the grid
     (negative = inside).

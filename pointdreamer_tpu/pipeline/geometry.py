@@ -159,9 +159,10 @@ def reconstruct_mesh(
     smooth_mesh: bool = False,
     refine_iters: int = 10,
     iso_method: str = "mc",
-    # 4.0 = pymeshlab screened-Poisson pointweight parity (core/config.py
-    # spr_screen_weight has the measured tradeoff)
-    screen_weight: float = 4.0,
+    # screened-Poisson default; core/config.py spr_screen_weight has the
+    # measured sweep (sw=2 + 48 CG iters: best scan quality that keeps
+    # every texture self-parity gate green)
+    screen_weight: float = 2.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Point cloud (normalized to [-0.5, 0.5]) -> (vertices, faces).
 
