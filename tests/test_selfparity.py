@@ -19,8 +19,16 @@ import pytest
 from pointdreamer_tpu.eval.selfparity import run_roundtrip
 
 
+# Reduced-res regression settings.  spr_screen_weight is pinned to 0
+# here for the same reason iso_method is pinned below: at grid 64 the
+# fixed-texel seam width magnifies any sub-cell surface shift on the
+# sharp-edged cube (screening moves the iso surface toward the samples
+# by a fraction of a cell).  The SHIPPED default (sw=2, 48 CG iters) is
+# certified by the full-res gate (test_selfparity_cube_full, >=30 dB)
+# and the geometry table (docs/geometry_table_r05.json).
 QUICK = dict(grid_res=64, cam_res=192, res=128, xatlas_texture_res=256,
-             target_face_num=4000, edge_dilate_kernels=[11], view_num=8)
+             target_face_num=4000, edge_dilate_kernels=[11], view_num=8,
+             spr_screen_weight=0.0)
 
 
 @pytest.mark.slow
